@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place all mains/tests build their SparkSession, so the scale-relevant
+  * knobs (AQE, shuffle partitions sized to cores, skew-join splitting) are
+  * consistent. On a real cluster the same settings apply per-executor; here
+  * `local[N]` is the sandbox stand-in for an N-executor cluster.
+  */
+object Sessions {
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (32 * 1024 * 1024).toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Cores from env (driver passes SPARK_GRAFT_CPUS), default 4. */
+  def fromEnv(appName: String = "graft"): SparkSession =
+    local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, appName)
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+object ContentAnchorsImpl {
+  private final val B = 1000003L // polynomial rolling-hash base
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling
+    * hashes of every `width`-char window, then the minimum hash of every
+    * `stride` consecutive windows (monotone deque, O(n) total). Guarantee:
+    * two strings sharing any substring of length >= width + stride - 1 share
+    * at least one selected fingerprint — anchor positions are content-defined,
+    * so alignment never depends on document offsets.
+    */
+  def anchors(s: UTF8String, width: Int, stride: Int): GenericArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n < width) return new GenericArrayData(Array.empty[Long])
+    val m = n - width + 1 // number of windows
+    val hs = new Array[Long](m)
+    // precompute B^(width-1) for the rolling update
+    var pow = 1L
+    var i = 0
+    while (i < width - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < width) { h = h * B + str.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - str.charAt(i - 1) * pow) * B + str.charAt(i + width - 1)
+      hs(i) = h
+      i += 1
+    }
+    if (m <= stride) {
+      var mn = hs(0); i = 1
+      while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      return new GenericArrayData(Array(mix(mn)))
+    }
+    // sliding-window minimum over hs with window `stride` (monotone deque of
+    // indices, increasing hash values; rightmost-min tie rule)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      while (deque(head) <= i - stride) head += 1
+      if (i >= stride - 1) out.add(mix(hs(deque(head))))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** finalize raw polynomial hashes so adversarial/low-entropy windows spread */
+  private def mix(h: Long): Long = MinHashImpl.mix64(h)
+}
+
+/** `content_anchors(string, width, stride) -> array<long>` — content-defined
+  * exact-substring fingerprints; the degraded-but-guaranteed replacement for a
+  * distributed suffix array (SURVEY §7.5): docs sharing a long exact substring
+  * collide on an anchor and become candidate pairs.
+  */
+case class ContentAnchors(child: Expression, width: Int, stride: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ContentAnchorsImpl.anchors(input.asInstanceOf[UTF8String], width, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"${ev.value} = graft.functions.ContentAnchorsImpl.anchors($c, $width, $stride);"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): ContentAnchors =
+    copy(child = newChild)
+}
+
+object ContentAnchors {
+  def apply(c: Column, width: Int, stride: Int): Column =
+    graftbridge.column(ContentAnchors(graftbridge.expression(c), width, stride))
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the dedup pipeline — all built-in
+  * (codegen'd) functions; no UDFs in the hot path.
+  *
+  * Reference analogue: venue_author_preprocess.R:18-39 (regex cleanup +
+  * lowercase) and wordlist.py:21-34 (whitespace tokenization), re-expressed as
+  * Catalyst column expressions.
+  */
+object text {
+
+  /** Lowercase, strip non-alphanumerics to spaces, collapse runs, trim.
+    * Whitespace/punctuation-only edits ("shuffle_ws" dups) normalize away.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^\\p{L}\\p{N}]+", " "))
+
+  /** Whitespace tokens of normalized text; empty text -> empty array. */
+  def tokens(c: Column): Column = {
+    val n = normalize(c)
+    when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
+  }
+
+  /** 64-bit hashes of word k-shingles (distinct). Documents shorter than k
+    * tokens contribute a single whole-document shingle so short docs still
+    * compare (reference sentinel analogue: wordlist.py:24-27 — empty field
+    * gets a token that can only match itself... here short docs hash whole).
+    */
+  def shingleHashes(toks: Column, k: Int): Column = {
+    val whole = array(xxhash64(concat_ws(" ", toks)))
+    val grams = array_distinct(
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))
+      )
+    )
+    when(size(toks) < k, whole).otherwise(grams)
+  }
+
+  /** Per-token 64-bit hashes, multiplicity preserved (SimHash weights). */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** Exact-substring anchors via content-defined winnowing fingerprints (see
+    * ContentAnchors): two docs sharing any exact normalized substring of
+    * length >= width + stride - 1 are GUARANTEED to share an anchor hash.
+    */
+  def windowAnchors(c: Column, width: Int, stride: Int): Column =
+    ContentAnchors(normalize(c), width, stride)
+
+  /** Jaccard of two set-valued (already distinct) arrays; both-empty -> 1.0. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni === 0d, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints (built-in bit_count). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+
+
+/** Pairwise precision / recall / F1 of a predicted clustering against a truth
+  * clustering — the reference's evaluation contract (evaluate.py:18-31,
+  * 125-128), computed WITHOUT enumerating pairs: for every (truth, pred)
+  * contingency cell of n co-assigned items there are C(n,2) agreeing pairs,
+  * so TP = Σ_cells C(n,2), truthPairs = Σ_t C(n_t,2), predPairs = Σ_p C(n_p,2).
+  * Three hash aggregations; no O(n^2) blow-up at any scale.
+  */
+object Eval {
+
+  final case class PairwiseScores(
+      tp: Long,
+      truthPairs: Long,
+      predPairs: Long
+  ) {
+    def precision: Double = if (predPairs == 0) 1.0 else tp.toDouble / predPairs
+    def recall: Double = if (truthPairs == 0) 1.0 else tp.toDouble / truthPairs
+    def f1: Double = {
+      val p = precision; val r = recall
+      if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    }
+  }
+
+  private def sumPairs(counts: DataFrame): Long = {
+    import counts.sparkSession.implicits._
+    counts
+      .agg(expr("sum(n * (n - 1) DIV 2)")) // DIV keeps it integral (no double round-trip)
+      .as[Option[Long]]
+      .first()
+      .getOrElse(0L)
+  }
+
+  /** pred: (conv_id, component); truth: (conv_id, cluster_id). */
+  def pairwise(spark: SparkSession, pred: DataFrame, truth: DataFrame): PairwiseScores = {
+    val joined = pred
+      .select(col("conv_id"), col("component"))
+      .join(truth.select(col("conv_id"), col("cluster_id")), "conv_id")
+    val cells = joined.groupBy(col("component"), col("cluster_id")).agg(count(lit(1)).as("n"))
+    val tp = sumPairs(cells)
+    val tPairs = sumPairs(truth.groupBy(col("cluster_id")).agg(count(lit(1)).as("n")))
+    val pPairs = sumPairs(pred.groupBy(col("component")).agg(count(lit(1)).as("n")))
+    PairwiseScores(tp, tPairs, pPairs)
+  }
+
+  /** Recall of an explicit pair set: fraction of `oracle` pairs (id1,id2)
+    * whose endpoints the prediction co-assigns. Used against the brute-force
+    * exact-Jaccard oracle (the north_rule ">=0.99 dup-pair recall" gate).
+    */
+  def pairRecall(spark: SparkSession, pred: DataFrame, oracle: DataFrame): Double = {
+    import spark.implicits._
+    val p = pred.select(col("conv_id"), col("component"))
+    val joined = oracle
+      .join(p.select(col("conv_id").as("id1"), col("component").as("c1")), "id1")
+      .join(p.select(col("conv_id").as("id2"), col("component").as("c2")), "id2")
+    val (hit, total) = joined
+      .agg(sum((col("c1") === col("c2")).cast("long")), count(lit(1)))
+      .as[(Option[Long], Long)]
+      .first() match { case (h, t) => (h.getOrElse(0L), t) }
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
+  /** Brute-force exact-Jaccard oracle pairs at small n (test-only): all pairs
+    * of assembled docs with shingle-set Jaccard >= threshold — the reference-
+    * semantics ground truth (all-pairs scoring, id_pairs.py:21-23 analogue).
+    */
+  def bruteForceOracle(shingled: DataFrame, threshold: Double): DataFrame = {
+    val a = shingled.select(col("conv_id").as("id1"), col("shingles").as("sh1"))
+    val b = shingled.select(col("conv_id").as("id2"), col("shingles").as("sh2"))
+    a.crossJoin(b)
+      .where(col("id1") < col("id2"))
+      .withColumn("jaccard", graft.functions.text.jaccard(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative large-star / small-star connected components over DataFrames
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+  * — the scalable replacement for the reference's per-block igraph
+  * `components()` calls (coauthor_glue.R:44-47, uni_glue_baseline.R:49-115)
+  * and MST clustering (MT_Kruskal.R:153-158). Converges in O(log n) rounds
+  * even on chain graphs; every round is two shuffles (groupBy min + join),
+  * both AQE-managed, so it survives a 1000-executor scale-up.
+  *
+  * Node ids are strings — the algorithm only needs a total order, and string
+  * ids avoid a 64-bit-hash collision risk at 10^12 nodes.
+  */
+object ConnectedComponents {
+
+  /** edges: DataFrame(src, dst) undirected, any orientation, self-loops ok.
+    * Returns DataFrame(id, component) covering every node present in edges;
+    * component = min node id of the component.
+    */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+
+    // canonical directed-to-smaller representation: (hi > lo)
+    def canon(e: DataFrame): DataFrame = e
+      .select(
+        greatest($"src", $"dst").as("hi"),
+        least($"src", $"dst").as("lo")
+      )
+      .filter($"hi" =!= $"lo")
+      .distinct()
+
+    var cur = canon(edges).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // --- large-star: for each node u, link every strictly-larger neighbor
+      // to the minimum of u's closed neighborhood.
+      val sym = cur.select($"hi".as("u"), $"lo".as("v"))
+        .union(cur.select($"lo".as("u"), $"hi".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+      val ls = sym
+        .join(mins, "u")
+        .select($"v".as("src"), least($"mn", $"u").as("dst"))
+        .where($"src" > $"dst")
+      val afterLs = canon(ls)
+
+      // --- small-star: each node links its smaller-or-equal neighborhood
+      // (including itself) to that neighborhood's minimum.
+      val mins2 = afterLs.groupBy($"hi").agg(min($"lo").as("mn"))
+      val ss = afterLs
+        .join(mins2, "hi")
+        .select($"lo".as("src"), $"mn".as("dst"))
+        .union(mins2.select($"hi".as("src"), $"mn".as("dst")))
+      val next = canon(ss).localCheckpoint(true)
+
+      // convergence: edge set unchanged (count + order-independent XOR checksum)
+      val Array(curSig, nextSig) = Array(cur, next).map { d =>
+        d.agg(count(lit(1)), bit_xor(xxhash64($"hi", $"lo"))).as[(Long, Option[Long])].first()
+      }
+      converged = curSig == nextSig
+      cur = next
+      iter += 1
+    }
+
+    // at convergence every edge is (node -> component root); roots map to themselves
+    cur
+      .select($"hi".as("id"), $"lo".as("component"))
+      .union(cur.select($"lo".as("id"), $"lo".as("component")))
+      .groupBy($"id")
+      .agg(min($"component").as("component"))
+  }
+}

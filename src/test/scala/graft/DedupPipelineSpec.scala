@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Eval}
+import graft.synth.Synth
+
+/** End-to-end pipeline correctness on the deterministic synthetic corpus:
+  * the north_rule recall gate (>=0.99 dup-pair recall vs the brute-force
+  * exact-Jaccard oracle at identical shingle/signature config) plus planted-
+  * truth quality — the Spark analogue of evaluate.py vs assignment_*.json.
+  */
+class DedupPipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(4, "dedup-spec")
+
+  val cfg = Dedup.Config()
+  val scfg = Synth.Config(nClusters = 300, boilerClusters = 2, boilerSize = 30)
+
+  lazy val transcripts = Synth.transcripts(spark, scfg).toDF.cache()
+  lazy val truth = Synth.truth(spark, scfg).toDF.cache()
+  lazy val result = Dedup.run(spark, transcripts, cfg)
+  lazy val clusters = result.clusters.cache()
+
+  test("synthetic corpus is deterministic and non-trivial") {
+    val n = transcripts.count()
+    assert(n > 1000, s"expected >1000 turns, got $n")
+    val n2 = Synth.transcripts(spark, scfg).toDF.count()
+    assert(n == n2)
+    // identical content under different partitioning (pure-function generation)
+    val h1 = transcripts.agg(bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text")))).first().getLong(0)
+    val h2 = Synth.transcripts(spark, scfg.copy()).toDF.repartition(13)
+      .agg(bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text")))).first().getLong(0)
+    assert(h1 == h2)
+  }
+
+  test("per-turn text equality under stable turn ordering (input_hint invariant)") {
+    // assembling from a shuffled row order must give identical docs
+    val docs1 = Dedup.assemble(transcripts).select("conv_id", "doc")
+    val docs2 = Dedup.assemble(transcripts.repartition(17).sortWithinPartitions(desc("ts")))
+      .select("conv_id", "doc")
+    assert(docs1.exceptAll(docs2).isEmpty && docs2.exceptAll(docs1).isEmpty)
+    // doc contains every turn's text
+    val turnsJoined = transcripts
+      .join(docs1, "conv_id")
+      .where(!col("doc").contains(col("text")))
+      .count()
+    assert(turnsJoined == 0, "every turn text must appear in its assembled doc")
+  }
+
+  test("dup-pair recall >= 0.99 vs brute-force exact-Jaccard oracle (north_rule gate)") {
+    val shingled = result.sigs.select("conv_id", "shingles")
+    val oracle = Eval.bruteForceOracle(shingled, cfg.threshold).cache()
+    val nOracle = oracle.count()
+    assert(nOracle > 100, s"oracle should find plenty of dup pairs, got $nOracle")
+    val recall = Eval.pairRecall(spark, clusters, oracle)
+    info(f"oracle pairs: $nOracle, pipeline dup-pair recall: $recall%.4f")
+    assert(recall >= 0.99, f"recall $recall%.4f < 0.99")
+  }
+
+  test("planted-truth pairwise precision/recall are high") {
+    val s = Eval.pairwise(spark, clusters, truth.select(col("conv_id"), col("cluster_id")))
+    info(f"planted truth: P=${s.precision}%.4f R=${s.recall}%.4f F1=${s.f1}%.4f " +
+      s"(tp=${s.tp} truthPairs=${s.truthPairs} predPairs=${s.predPairs})")
+    assert(s.recall >= 0.95, f"planted recall ${s.recall}%.4f")
+    assert(s.precision >= 0.95, f"planted precision ${s.precision}%.4f")
+  }
+
+  test("shuffle_ws variants are byte-identical after normalization (exact dups)") {
+    val ws = truth.where(col("variant") === "shuffle_ws")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n")).where(col("n") > 1)
+    if (ws.count() > 0) {
+      // every shuffle_ws cluster must be perfectly recovered: normalized docs equal
+      val ids = truth.where(col("variant") === "shuffle_ws").select("conv_id", "cluster_id")
+      val docs = Dedup.assemble(transcripts)
+        .join(ids, "conv_id")
+        .select(col("cluster_id"), graft.functions.text.normalize(col("doc")).as("norm"))
+      val distinctPerCluster = docs.groupBy("cluster_id")
+        .agg(countDistinct("norm").as("d")).where(col("d") > 1).count()
+      assert(distinctPerCluster == 0)
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{text => T, MinHashImpl, MinHashSignature, SimHash64}
+
+/** Unit + property tests for the custom Catalyst expressions and text
+  * primitives (SURVEY.md §5 test plan).
+  */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(4, "functions-spec")
+  import spark.implicits._
+
+  test("normalize strips punctuation/whitespace variation") {
+    val df = Seq("  Hello,   World!! ", "hello world").toDF("t")
+      .select(T.normalize(col("t")).as("n"))
+    val vals = df.collect().map(_.getString(0)).distinct
+    assert(vals.sameElements(Array("hello world")))
+  }
+
+  test("shingleHashes: short docs get whole-doc shingle; k-gram count correct") {
+    val df = Seq("a b c d e f g", "a b").toDF("t")
+      .select(size(T.shingleHashes(T.tokens(col("t")), 5)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 1)) // 7-5+1=3, short=1
+  }
+
+  test("minhash estimate converges to exact jaccard (property)") {
+    // two synthetic shingle sets with known overlap: |A|=|B|=200, |A∩B|=150
+    val inter = (0 until 150).map(i => s"s$i")
+    val a = inter ++ (1000 until 1050).map(i => s"s$i")
+    val b = inter ++ (2000 until 2050).map(i => s"s$i")
+    val exact = 150.0 / 250.0
+    val df = Seq(("a", a), ("b", b)).toDF("id", "toks")
+      .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("sh"))
+      .select(col("id"), MinHashSignature(col("sh"), 1024, 42L).as("sig"))
+    val sigs = df.collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val est = sigs("a").zip(sigs("b")).count { case (x, y) => x == y } / 1024.0
+    assert(math.abs(est - exact) < 0.05, s"est $est vs exact $exact")
+  }
+
+  test("minhash signature invariant under shingle order permutation") {
+    val toks = (0 until 100).map(i => s"t$i")
+    val df = Seq(("fwd", toks), ("rev", toks.reverse)).toDF("id", "toks")
+      .select(col("id"), MinHashSignature(transform(col("toks"), t => xxhash64(t)), 128, 7L).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(m("fwd") == m("rev"))
+  }
+
+  test("minhash coefficients deterministic and in range") {
+    val c1 = MinHashImpl.coeffs(128, 42L)
+    val c2 = MinHashImpl.coeffs(128, 42L)
+    assert(c1.sameElements(c2))
+    assert(c1.zipWithIndex.forall { case (v, i) =>
+      if (i % 2 == 0) v >= 1 && v < MinHashImpl.P else v >= 0 && v < MinHashImpl.P
+    })
+  }
+
+  test("simhash: identical inputs identical; near inputs near in Hamming space") {
+    val base = (0 until 300).map(i => s"t$i")
+    val near = base.updated(0, "CHANGED").updated(150, "ALSO")
+    val far = (1000 until 1300).map(i => s"u$i")
+    val df = Seq(("a", base), ("a2", base), ("n", near), ("f", far)).toDF("id", "toks")
+      .select(col("id"), SimHash64(transform(col("toks"), t => xxhash64(t))).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("a2"))
+    val dNear = java.lang.Long.bitCount(m("a") ^ m("n"))
+    val dFar = java.lang.Long.bitCount(m("a") ^ m("f"))
+    assert(dNear < dFar, s"near=$dNear far=$dFar")
+    assert(dNear <= 8, s"2/300 token change should stay within small Hamming ball, got $dNear")
+  }
+
+  test("jaccard column function: exact values incl. both-empty") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)), // 2/4
+      (Seq.empty[Long], Seq.empty[Long]), // both empty -> 1.0
+      (Seq(1L), Seq.empty[Long]) // 0.0
+    ).toDF("a", "b").select(T.jaccard(col("a"), col("b")).as("j"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(0.5, 1.0, 0.0))
+  }
+
+  test("winnowing anchors: shared substring >= width+stride-1 guarantees a shared anchor") {
+    val shared = ("x" * 5) + (0 until 40).map(i => s"common$i").mkString(" ") // > 95 normalized chars
+    val d1 = s"prefix one $shared suffix one"
+    val d2 = s"totally different beginning $shared and end"
+    val df = Seq(("a", d1), ("b", d2)).toDF("id", "t")
+      .select(col("id"), T.windowAnchors(col("t"), 64, 32).as("an"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(m("a").intersect(m("b")).nonEmpty)
+  }
+
+  test("winnowing anchors guarantee (property over many offsets)") {
+    val gen = new scala.util.Random(7)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + gen.nextInt(26)).toChar).mkString
+    val shared = rand(95) // exactly width + stride - 1
+    val docs = (0 until 20).map { i => (s"d$i", rand(1 + gen.nextInt(300)) + " " + shared + " " + rand(1 + gen.nextInt(300))) }
+    val df = docs.toDF("id", "t").select(col("id"), T.windowAnchors(col("t"), 64, 32).as("an"))
+    val sets = df.collect().map(r => r.getSeq[Long](1).toSet)
+    val common = sets.reduce(_ intersect _)
+    assert(common.nonEmpty, "every pair must share the winnowed anchor of the common substring")
+  }
+
+  test("minhash expression participates in whole-stage codegen") {
+    val df = spark.range(4)
+      .select(MinHashSignature(array(col("id"), col("id") * 2), 16, 1L).as("sig"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan) // '*' prefix = inside WholeStageCodegen
+  }
+}
