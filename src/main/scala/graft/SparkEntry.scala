@@ -1,13 +1,542 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Cols._
+import graft.functions.{text => T, MinHashSignature, SimHash64}
+import graft.pipeline.Dedup
+import graft.synth.Synth
+
+/** Driver contract — one `queries` entry per implemented operator family from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
+  * semantics are ANSI-SQL-expressible. All results use integer or
+  * decimal-exact arithmetic (doubles only as a final exact cast) so the
+  * driver's value-hash comparison is engine-stable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** exact sum of a double column via decimal, emitted as double */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Flagship: full near-dup pipeline on a small deterministic synthetic
+    * transcript corpus; returns the cluster assignment (driver smoke-checks
+    * rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val cfg = Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 12)
+    Dedup.run(spark, Synth.transcripts(spark, cfg).toDF, Dedup.Config()).clusters
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters / projections (S3, P1, P2; predicate+projection pushdown)
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" < lit("1996-01-01").cast("timestamp") && $"l_quantity" > 45)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    }),
+
+    // ---- aggregations (A1/A3/A7 analogues)
+    "q01_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_price"),
+          count(lit(1)).as("n")
+        )
+    }),
+
+    // ---- multi-join + agg with broadcastable dims (J2-style)
+    "q03_join_agg" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n")
+        )
+    }),
+
+    // ---- outer join (J4)
+    "q04_left_outer" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+    }),
+
+    // ---- anti join (J6/U2)
+    "q05_anti" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+    }),
+
+    // ---- semi join (J7)
+    "q06_semi" -> ((s, d) => {
+      val bld = t(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+      t(s, d, "orders")
+        .join(bld, $"o_custkey" === $"c_custkey", "left_semi")
+        .select($"o_orderkey", $"o_custkey")
+    }),
+
+    // ---- window: argmax row per group (W3/A2/O3)
+    "q07_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    }),
+
+    // ---- window: running sum (W1)
+    "q08_window_running" -> ((s, d) => {
+      // l_linenumber is NOT unique per order in this corpus: order by
+      // (linenumber, quantity) so tie rows produce engine-stable prefix sums
+      val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber", $"l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .select(
+          $"l_orderkey",
+          $"l_linenumber",
+          sum($"l_quantity".cast("decimal(18,2)")).over(w).cast("double").as("running_qty")
+        )
+    }),
+
+    // ---- dedup rows (P5)
+    "q09_distinct" -> ((s, d) => {
+      t(s, d, "lineitem").select($"l_returnflag", $"l_linestatus").distinct()
+    }),
+
+    // ---- set ops (U1/U2/U3)
+    "q10_union" -> ((s, d) => {
+      t(s, d, "customer").select($"c_nationkey".as("nk"))
+        .union(t(s, d, "supplier").select($"s_nationkey".as("nk")))
+        .distinct()
+    }),
+    "q11_except" -> ((s, d) => {
+      t(s, d, "customer").select($"c_nationkey".as("nk"))
+        .except(t(s, d, "supplier").select($"s_nationkey".as("nk")))
+    }),
+    "q12_intersect" -> ((s, d) => {
+      t(s, d, "customer").select($"c_nationkey".as("nk"))
+        .intersect(t(s, d, "supplier").select($"s_nationkey".as("nk")))
+    }),
+
+    // ---- THE central reference operator: block-local pair enumeration
+    // (J1, id_pairs.py:21-23) as a self equi+theta join
+    "q13_pair_enum" -> ((s, d) => {
+      val sup = t(s, d, "supplier").select($"s_nationkey".as("nk"), $"s_suppkey")
+      val a = sup.select($"nk", $"s_suppkey".as("id1"))
+      val b = sup.select($"nk", $"s_suppkey".as("id2"))
+      a.join(b, Seq("nk")).where($"id1" < $"id2").select($"nk", $"id1", $"id2")
+    }),
+
+    // ---- argmax via max_by-equivalent window (A2)
+    "q14_argmax" -> ((s, d) => {
+      val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal".desc, $"s_suppkey")
+      t(s, d, "supplier")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"s_nationkey", $"s_suppkey", $"s_acctbal")
+    }),
+
+    // ---- global min/max span per group (A5, diff_year.py analogue)
+    "q15_span" -> ((s, d) => {
+      t(s, d, "part")
+        .groupBy($"p_brand")
+        .agg(
+          (max($"p_retailprice".cast("decimal(18,2)")) -
+            min($"p_retailprice".cast("decimal(18,2)"))).cast("double").as("price_span")
+        )
+    }),
+
+    // ---- duplicate counting (A6, dual_marry.py analogue)
+    "q16_dupkeys" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" > 1)
+    }),
+
+    // ---- group -> ordered bag (A1, org_bag.py analogue; string form for
+    // engine-stable comparison)
+    "q17_grouplist" -> ((s, d) => {
+      t(s, d, "supplier")
+        .groupBy($"s_nationkey")
+        .agg(concat_ws(",", array_sort(collect_list($"s_name"))).as("names"))
+    }),
+
+    // ---- conditional aggregation (A8, likelihood.R analogue)
+    "q18_condsum" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy($"l_linestatus")
+        .agg(
+          dsum(when($"l_returnflag" === "R", $"l_extendedprice").otherwise(lit(0))).as("returned_price"),
+          dsum(when($"l_returnflag" =!= "R", $"l_extendedprice").otherwise(lit(0))).as("kept_price")
+        )
+    }),
+
+    // ---- Pearson correlation (A10, check_features.py:41-43) — decimal-exact
+    // moments, double only in the final closed form
+    "q19_corr" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sx"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sy"),
+          sum(($"l_quantity".cast("decimal(18,2)") * $"l_extendedprice".cast("decimal(18,2)"))
+            .cast("decimal(38,4)")).cast("double").as("sxy"),
+          sum(($"l_quantity".cast("decimal(18,2)") * $"l_quantity".cast("decimal(18,2)"))
+            .cast("decimal(38,4)")).cast("double").as("sxx"),
+          sum(($"l_extendedprice".cast("decimal(18,2)") * $"l_extendedprice".cast("decimal(18,2)"))
+            .cast("decimal(38,4)")).cast("double").as("syy")
+        )
+        .select(
+          $"l_returnflag",
+          round(
+            ($"n" * $"sxy" - $"sx" * $"sy") /
+              sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")),
+            6
+          ).as("corr_qty_price")
+        )
+    }),
+
+    // ---- histogram (A12, pscore.R analogue; manual buckets, width_bucket
+    // missing in the oracle engine)
+    "q20_histogram" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(floor($"o_totalprice" / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- chain-graph edge construction (G2, uni_glue_baseline.R:49-113):
+    // consecutive-pair edges per group via lead window
+    "q21_chain_edges" -> ((s, d) => {
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey", lead($"o_orderkey", 1).over(w).as("next_key"))
+        .where($"next_key".isNotNull)
+        .select($"o_custkey", $"o_orderkey".as("src"), $"next_key".as("dst"))
+    }),
+
+    // ---- deterministic global top-k (O1/O3)
+    "q22_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+        .select($"o_orderkey", $"o_totalprice")
+    }),
+
+    // ---- event sessionization (gap > 30 min) — lag + conditional running sum
+    "q23_event_sessions" -> ((s, d) => {
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn(
+          "brk",
+          when($"prev_ts".isNull || (unix_timestamp($"ts") - unix_timestamp($"prev_ts")) >= 1800, 1)
+            .otherwise(0)
+        )
+        .groupBy($"user_id")
+        .agg(sum($"brk").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // ---- event-time tumbling window aggregation (batch form of §2.10)
+    "q24_event_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(
+          date_trunc("hour", $"ts").cast("string").as("hour"),
+          $"event_type"
+        )
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    }),
+
+    // ---- EXACT dedup over documents (hash-groupBy; keeper = min id)
+    "d01_exact_dedup" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+    }),
+
+    // ---- n-gram Jaccard near-dup scoring over sampled doc pairs (A4
+    // analogue: multiset-intersection scoring, c_org.py:18-28; integer
+    // intersection/union for engine stability)
+    "d02_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter($"doc_id" % 10 === 0)
+        .select(
+          $"doc_id",
+          array_distinct(
+            transform(
+              sequence(lit(0), size(split($"text", " ")) - 3),
+              i => concat_ws(" ", slice(split($"text", " "), i + 1, lit(3)))
+            )
+          ).as("sh")
+        )
+      val a = docs.select($"doc_id".as("id1"), $"sh".as("sh1"))
+      val b = docs.select($"doc_id".as("id2"), $"sh".as("sh2"))
+      a.crossJoin(b)
+        .where($"id1" < $"id2")
+        .select(
+          $"id1",
+          $"id2",
+          size(array_intersect($"sh1", $"sh2")).as("inter"),
+          size(array_union($"sh1", $"sh2")).as("uni")
+        )
+        .where($"inter" > 0)
+    }),
+
+    // ---- token counting + quality stats per document (training-data ops)
+    "d03_token_stats" -> ((s, d) => {
+      val toks = split($"text", " ")
+      t(s, d, "documents")
+        .select(
+          $"doc_id",
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          length($"text").as("n_chars_actual")
+        )
+    }),
+
+    // ---- corpus-level token stats per source (IDF.py analogue: global term
+    // statistics shared across blocks)
+    "d04_source_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split($"text", " "))).as("total_tokens")
+        )
+    }),
+
+    // ---- language-ID heuristic: stopword-set hits (set semantics both engines)
+    "d05_langid" -> ((s, d) => {
+      val stop = array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to"))
+      t(s, d, "documents")
+        .select(
+          $"doc_id",
+          size(array_intersect(array_distinct(split($"text", " ")), stop)).as("stop_hits")
+        )
+        .withColumn("lang_guess", when($"stop_hits" >= 1, "en").otherwise("other"))
+    }),
+
+    // ---- document fingerprints: MinHash first component + SimHash (rows-only;
+    // not ANSI-SQL-expressible)
+    "d06_fingerprints" -> ((s, d) => {
+      val toks = T.tokens($"text")
+      t(s, d, "documents")
+        .select(
+          $"doc_id",
+          MinHashSignature(T.shingleHashes(toks, 3), 128, 42L).as("sig"),
+          SimHash64(T.tokenHashes(toks)).as("simhash")
+        )
+        .select($"doc_id", element_at($"sig", 1).as("minhash0"), $"simhash")
+    }),
+
+    // ---- embedding cosine top-k (ANN brute-force baseline; quantized to
+    // integer dot products so both engines agree bit-for-bit)
+    "e01_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", transform($"embedding", x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      val queries = emb.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("qid"), $"q".as("qv"))
+      val joined = queries.crossJoin(emb.select($"vec_id".as("nid"), $"q".as("nv")))
+        .where($"qid" =!= $"nid")
+        .select(
+          $"qid",
+          $"nid",
+          aggregate(zip_with($"qv", $"nv", (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("dot"),
+          aggregate(transform($"qv", x => x * x), lit(0L), (acc, x) => acc + x).as("nq"),
+          aggregate(transform($"nv", x => x * x), lit(0L), (acc, x) => acc + x).as("nn")
+        )
+        .select(
+          $"qid",
+          $"nid",
+          round($"dot".cast("double") / (sqrt($"nq".cast("double")) * sqrt($"nn".cast("double"))), 6).as("cos")
+        )
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      joined.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"qid", $"nid", $"cos", $"rn")
+    }),
+
+    // ---- transcripts near-dup pipeline on the synthetic corpus (rows-only;
+    // the flagship operator itself)
+    "p01_dedup_clusters" -> ((s, _) => {
+      val cfg = Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 12)
+      Dedup.run(s, Synth.transcripts(s, cfg).toDF, Dedup.Config())
+        .clusters.groupBy($"component").agg(count(lit(1)).as("size"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45""".stripMargin,
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q04_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q05_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q06_semi" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')""".stripMargin,
+    "q07_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q08_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem""".stripMargin,
+    "q09_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q10_union" ->
+      """SELECT DISTINCT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey AS nk FROM supplier)""".stripMargin,
+    "q11_except" ->
+      "SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier",
+    "q12_intersect" ->
+      "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier",
+    "q13_pair_enum" ->
+      """SELECT a.s_nationkey AS nk, a.s_suppkey AS id1, b.s_suppkey AS id2
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey""".stripMargin,
+    "q14_argmax" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal FROM (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        |  FROM supplier) WHERE rn = 1""".stripMargin,
+    "q15_span" ->
+      """SELECT p_brand,
+        |  CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) - MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_span
+        |FROM part GROUP BY p_brand""".stripMargin,
+    "q16_dupkeys" ->
+      "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1",
+    "q17_grouplist" ->
+      """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+    "q18_condsum" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS returned_price,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS kept_price
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q19_corr" ->
+      """SELECT l_returnflag,
+        |  ROUND((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)""".stripMargin,
+    "q20_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q21_chain_edges" ->
+      """SELECT o_custkey, src, dst FROM (
+        |  SELECT o_custkey, o_orderkey AS src,
+        |    LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS dst
+        |  FROM orders) WHERE dst IS NOT NULL""".stripMargin,
+    "q22_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q23_event_sessions" ->
+      """SELECT user_id, SUM(brk) AS n_sessions, COUNT(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |         OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) >= 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM (SELECT user_id, ts,
+        |          LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events))
+        |GROUP BY user_id""".stripMargin,
+    "q24_event_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d02_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 = 0))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS inter,
+        |  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS INT) AS uni
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.grams, b.grams)) > 0""".stripMargin,
+    "d03_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |  CAST(length(text) AS INT) AS n_chars_actual
+        |FROM documents""".stripMargin,
+    "d04_source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(len(string_split(text, ' '))) AS total_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+    "d05_langid" ->
+      """SELECT doc_id,
+        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |    ['the', 'a', 'of', 'and', 'to'])) AS INT) AS stop_hits,
+        |  CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+        |    ['the', 'a', 'of', 'and', 'to'])) >= 1 THEN 'en' ELSE 'other' END AS lang_guess
+        |FROM documents""".stripMargin,
+    "e01_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS qv
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    list_sum(list_transform(list_zip(a.qv, b.qv), t -> t[1] * t[2])) AS dot,
+        |    list_sum(list_transform(a.qv, x -> x * x)) AS nq,
+        |    list_sum(list_transform(b.qv, x -> x * x)) AS nn
+        |  FROM q a JOIN q b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nn AS DOUBLE))), 6) AS cos
+        |  FROM pairs)
+        |SELECT qid, nid, cos, rn FROM (
+        |  SELECT qid, nid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |  FROM scored) WHERE rn <= 3""".stripMargin
+  )
 }
