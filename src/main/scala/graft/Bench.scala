@@ -1,24 +1,71 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.Dedup
+import graft.synth.Synth
+
+/** Per-round benchmark main. Emits ONE JSON line:
+  *   - headline per-query seconds over SPARK_GRAFT_SF_DIR at local[CPUS]
+  *   - end-to-end dedup-pipeline throughput (turns/sec) on the deterministic
+  *     synthetic transcript corpus
+  *   - N vs 4N scaling evidence: the same pipeline at local[2] and local[8]
+  *     (this VM's CPU scales 2->8 at ~0.97 ideal, while 8->32 is capped at
+  *     ~0.65 by SMT/hypervisor — so 2 vs 8 is the honest cores-proxy for
+  *     N vs 4N executors; see BASELINE.md). Min of reps counters steal noise.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+  private def timeQueries(spark: SparkSession, sfDir: String): Map[String, Double] =
+    SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+  /** one full pipeline pass; returns wall seconds */
+  private def pipelineWall(cores: Int, scfg: Synth.Config): (Long, Double) = {
+    val spark = Sessions.local(cores, s"graft-bench-$cores")
+    try {
+      val transcripts = Synth.transcripts(spark, scfg).toDF
+      val t0 = System.nanoTime()
+      val nTurns = transcripts.count()
+      val res = Dedup.run(spark, transcripts, Dedup.Config())
+      res.clusters.write.mode("overwrite").format("noop").save()
+      res.pairs.write.mode("overwrite").format("noop").save()
+      (nTurns, (System.nanoTime() - t0) / 1e9)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scfg = Synth.Config(nClusters = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "100000").toInt)
+
+    // 1. headline operator queries at full parallelism
+    val spark = Sessions.local(cpus, "graft-bench-queries")
+    val qTimes = timeQueries(spark, sfDir)
     spark.stop()
+
+    // 2+3. dedup pipeline throughput + scaling (alternating reps, min wall)
+    val reps = 2
+    val runs = (1 to reps).flatMap { _ =>
+      Seq(8 -> pipelineWall(8, scfg), 2 -> pipelineWall(2, scfg))
+    }
+    val byCores = runs.groupBy(_._1).map { case (c, rs) =>
+      c -> (rs.head._2._1, rs.map(_._2._2).min)
+    }
+    val (nTurns, t8) = byCores(8)
+    val (_, t2) = byCores(2)
+    val efficiency = (t2 / t8) / 4.0
+
+    val qs = qTimes.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    val total = qTimes.values.sum + t8
+    println(
+      f"""{"metric":"e2e_dedup+queries","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        f""""dedup":{"turns":$nTurns,"wall_sec_8c":$t8%.2f,"turns_per_sec_8c":${nTurns / t8}%.1f},""" +
+        f""""scaling":{"cores_n":2,"cores_4n":8,"wall_sec_n":$t2%.2f,"wall_sec_4n":$t8%.2f,""" +
+        f""""turns_per_sec_n":${nTurns / t2}%.1f,"turns_per_sec_4n":${nTurns / t8}%.1f,"efficiency":$efficiency%.3f}}"""
+    )
   }
 }

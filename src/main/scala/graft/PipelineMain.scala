@@ -36,11 +36,56 @@ object PipelineMain {
       case None       => Synth.transcripts(spark, scfg).toDF
     }
 
+    val profile = opts.get("profile").contains("true")
+    // task-time accounting: wall vs summed task time exposes how much of the
+    // pipeline is actually parallel work vs driver planning/scheduling gaps
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong
+    val gcNanos = new java.util.concurrent.atomic.AtomicLong
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null) {
+          taskNanos.addAndGet(te.taskMetrics.executorRunTime * 1000000L)
+          gcNanos.addAndGet(te.taskMetrics.jvmGCTime * 1000000L)
+          cpuNanos.addAndGet(te.taskMetrics.executorCpuTime)
+          taskCount.incrementAndGet()
+        }
+      }
+    })
+    def timed[A](name: String)(f: => A): A = {
+      val s0 = System.nanoTime()
+      val r = f
+      if (profile) println(f"[stage] $name%-12s ${(System.nanoTime() - s0) / 1e9}%8.2f s")
+      r
+    }
+
     val t0 = System.nanoTime()
     val nTurns = transcripts.count()
-    val res = Dedup.run(spark, transcripts, cfg)
-    res.clusters.write.mode("overwrite").parquet(s"$out/clusters")
-    res.pairs.write.mode("overwrite").parquet(s"$out/pairs")
+    val res =
+      if (!profile) Dedup.run(spark, transcripts, cfg)
+      else {
+        val docs = Dedup.assemble(transcripts).cache()
+        timed("assemble")(docs.count())
+        val shingled = Dedup.shingle(docs, cfg)
+        val sigs = Dedup.signatures(shingled, cfg).cache()
+        timed("signatures")(sigs.count())
+        val lsh = Dedup.lshCandidates(sigs, cfg).cache()
+        timed("lsh_cand")(lsh.count())
+        val sim = Dedup.simhashCandidates(sigs, cfg).cache()
+        timed("simhash_cand")(sim.count())
+        val sub = Dedup.substringCandidates(docs, cfg).cache()
+        timed("substr_cand")(sub.count())
+        val pairs = Dedup.verify(lsh.union(sim).union(sub), sigs, cfg).cache()
+        timed("verify")(pairs.count())
+        val clusters = timed("cc")(Dedup.cluster(spark, docs, pairs).cache())
+        timed("cc_count")(clusters.count())
+        Dedup.Result(docs, sigs, pairs, clusters)
+      }
+    timed("write") {
+      res.clusters.write.mode("overwrite").parquet(s"$out/clusters")
+      res.pairs.write.mode("overwrite").parquet(s"$out/pairs")
+    }
     val wall = (System.nanoTime() - t0) / 1e9
 
     val clusters = spark.read.parquet(s"$out/clusters")
@@ -54,9 +99,12 @@ object PipelineMain {
         f""","planted_precision":${s.precision}%.4f,"planted_recall":${s.recall}%.4f,"planted_f1":${s.f1}%.4f"""
       } else ""
 
+    val taskSec = taskNanos.get() / 1e9
     println(
       f"""{"turns":$nTurns,"convs":$nConvs,"dup_pairs":$nDupPairs,"components":$nComponents,""" +
-        f""""wall_sec":$wall%.2f,"turns_per_sec":${nTurns / wall}%.1f$evalJson}"""
+        f""""wall_sec":$wall%.2f,"turns_per_sec":${nTurns / wall}%.1f,""" +
+        f""""task_sec":$taskSec%.1f,"gc_sec":${gcNanos.get() / 1e9}%.1f,"cpu_sec":${cpuNanos.get() / 1e9}%.1f,""" +
+        f""""n_tasks":${taskCount.get()},"busy_frac":${taskSec / (wall * cores)}%.3f$evalJson}"""
     )
     spark.stop()
   }

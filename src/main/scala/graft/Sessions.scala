@@ -16,10 +16,21 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalesces on COMPRESSED shuffle bytes; transcript text compresses
+      // ~5x, so the default 64MB advisory collapses real 100MB+ stages to 1-2
+      // partitions and serializes them. 8MB advisory + a one-partition-per-
+      // core floor keeps CPU scaling without losing AQE skew handling.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cores.toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (32 * 1024 * 1024).toString)
+      // shuffle spill dir: tmpfs when available — on this box /tmp is
+      // disk-backed and 32 concurrent shuffle writers serialize on it (the
+      // cluster equivalent is local NVMe scratch on each executor)
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local" else "/tmp/spark-local")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

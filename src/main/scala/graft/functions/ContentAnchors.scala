@@ -45,7 +45,8 @@ object ContentAnchorsImpl {
     }
     // sliding-window minimum over hs with window `stride` (monotone deque of
     // indices, increasing hash values; rightmost-min tie rule)
-    val out = new java.util.TreeSet[java.lang.Long]()
+    val sel = new Array[Long](m - stride + 1)
+    var selN = 0
     val deque = new Array[Int](m)
     var head = 0; var tail = 0 // [head, tail)
     i = 0
@@ -53,14 +54,22 @@ object ContentAnchorsImpl {
       while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
       deque(tail) = i; tail += 1
       while (deque(head) <= i - stride) head += 1
-      if (i >= stride - 1) out.add(mix(hs(deque(head))))
+      if (i >= stride - 1) {
+        val v = mix(hs(deque(head)))
+        // consecutive windows usually share their min; cheap run-length skip
+        if (selN == 0 || sel(selN - 1) != v) { sel(selN) = v; selN += 1 }
+      }
       i += 1
     }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
+    val trimmed = java.util.Arrays.copyOf(sel, selN)
+    java.util.Arrays.sort(trimmed)
+    var w = 0
     i = 0
-    while (it.hasNext) { arr(i) = it.next(); i += 1 }
-    new GenericArrayData(arr)
+    while (i < selN) {
+      if (w == 0 || trimmed(i) != trimmed(w - 1)) { trimmed(w) = trimmed(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(trimmed, w))
   }
 
   /** finalize raw polynomial hashes so adversarial/low-entropy windows spread */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Cols._
-import graft.functions.{text => T, MinHashSignature, SimHash64}
+import graft.functions.{text => T, MinHashSignature, SimHash64, SortedIntersectSize}
 import graft.plans.ConnectedComponents
 
 /** End-to-end near-duplicate detection + clustering over transcripts
@@ -59,16 +59,14 @@ object Dedup {
         count(lit(1)).as("n_turns")
       )
 
-  /** (conv_id, shingles array<long>, tokens array<string>) */
-  def shingle(docs: DataFrame, cfg: Config): DataFrame = {
-    val toks = T.tokens($"doc")
+  /** (conv_id, doc, n_turns, shingles array<long> sorted distinct) */
+  def shingle(docs: DataFrame, cfg: Config): DataFrame =
     docs.select(
       $"conv_id",
       $"doc",
       $"n_turns",
-      T.shingleHashes(toks, cfg.shingleK).as("shingles")
+      graft.functions.ShingleHashes($"doc", cfg.shingleK).as("shingles")
     )
-  }
 
   /** + (sig array<int>, simhash long) */
   def signatures(shingled: DataFrame, cfg: Config): DataFrame =
@@ -79,71 +77,133 @@ object Dedup {
       SimHash64($"shingles").as("simhash")
     )
 
-  /** Candidate pairs from LSH banding with explicit skew handling:
-    * oversized (band,bucket) groups are chunked to `bucketCap` ids; pairs are
-    * exhaustive within a chunk and chunks are chained through their min-id
-    * hubs, preserving connectivity (cluster-level recall) while bounding the
-    * per-bucket pair explosion to O(n*cap) instead of O(n^2) — SURVEY §4
-    * skew notes; the reference is skew-blind (one process per block).
+  /** Shared candidate-pair generator over (bucket, id[, payload]) rows — ONE
+    * shuffle (hash partition by bucket), then a streaming, bounded-memory
+    * pair emission per bucket via `flatMapSortedGroups`:
+    *   - buckets of n <= cap emit all C(n,2) pairs (J1 analogue: the
+    *     reference's block-local pair enumeration, id_pairs.py:21-23);
+    *   - oversized (skewed) buckets are chunked to `cap` ids; pairs are
+    *     exhaustive within a chunk and chunks are chained through their first
+    *     ids, preserving bucket connectivity (cluster recall) while bounding
+    *     the explosion to O(n*cap) instead of O(n^2). The reference is
+    *     skew-blind (one process per block, SURVEY §4); this is the explicit
+    *     skew handling the north_rule requires. Sorted groups keep the output
+    *     deterministic under any shuffle arrival order.
+    * `pairFilter` (e.g. the SimHash Hamming gate) prunes pairs in-stream.
     */
+  private def bucketPairs(
+      bucketed: DataFrame, // (bucket long, id string, payload long)
+      cap: Int,
+      pairFilter: (Long, Long) => Boolean = (_, _) => true
+  ): DataFrame = {
+    val spark = bucketed.sparkSession
+    import spark.implicits._
+    bucketed
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("id")) { (_, it) =>
+        // almost all buckets are singletons (unique anchors/bands): bail out
+        // before any allocation, or the per-group garbage dominates the stage
+        val first = it.next()
+        if (!it.hasNext) Iterator.empty
+        else new Dedup.ChunkPairIterator(first, it, cap, pairFilter)
+      }
+      .toDF("id1", "id2")
+  }
+
+  /** Streaming bounded-memory pair emitter for one bucket (see bucketPairs).
+    * Chunk buffers are thread-local (one Spark task per thread), so the
+    * millions of small buckets share two arrays per core instead of
+    * allocating per group.
+    */
+  private final class ChunkPairIterator(
+      first: (Long, String, Long),
+      it: Iterator[(Long, String, Long)],
+      cap: Int,
+      pairFilter: (Long, Long) => Boolean
+  ) extends Iterator[(String, String)] {
+    private val (ids, pls) = Dedup.buffers(cap)
+    private var n = 0
+    private var i = 0 // pair cursor within chunk
+    private var j = 1
+    private var pendingFirst = true
+    private var prevHub: String = null
+    private var hubEdge: (String, String) = null
+
+    private def refill(): Unit = {
+      if (n > 0) prevHub = ids(0)
+      n = 0; i = 0; j = 1
+      if (pendingFirst) { ids(0) = first._2; pls(0) = first._3; n = 1; pendingFirst = false }
+      while (n < cap && it.hasNext) {
+        val t = it.next(); ids(n) = t._2; pls(n) = t._3; n += 1
+      }
+      if (n > 0 && prevHub != null) hubEdge = (prevHub, ids(0))
+    }
+
+    private def advance(): (String, String) = {
+      while (true) {
+        if (hubEdge != null) { val e = hubEdge; hubEdge = null; return e }
+        while (j < n) {
+          val (a, b) = (i, j)
+          j += 1
+          if (j == n) { i += 1; j = i + 1 }
+          if (pairFilter(pls(a), pls(b))) return (ids(a), ids(b))
+        }
+        if (!it.hasNext) return null
+        refill()
+      }
+      null
+    }
+
+    refill()
+    private var nxt = advance()
+    override def hasNext: Boolean = nxt != null
+    override def next(): (String, String) = { val r = nxt; nxt = advance(); r }
+  }
+
+  private val tlBuffers = new ThreadLocal[(Array[String], Array[Long])]
+  private def buffers(cap: Int): (Array[String], Array[Long]) = {
+    var b = tlBuffers.get()
+    if (b == null || b._1.length < cap) {
+      b = (new Array[String](cap), new Array[Long](cap))
+      tlBuffers.set(b)
+    }
+    b
+  }
+
+  /** MinHash LSH banding: band hash -> bucket, then streamed pair emission. */
   def lshCandidates(sigs: DataFrame, cfg: Config): DataFrame = {
     val r = cfg.rows
     val banded = sigs
       .select(
-        $"conv_id",
-        posexplode(
+        explode(
           transform(
             sequence(lit(0), lit(cfg.bands - 1)),
             b => xxhash64(slice($"sig", b * r + 1, lit(r)), b)
           )
-        ).as(Seq("band", "bhash"))
+        ).as("bucket"),
+        $"conv_id".as("id"),
+        lit(0L).as("payload")
       )
-      .select($"conv_id", $"band", $"bhash")
-
-    val w = Window.partitionBy($"band", $"bhash").orderBy($"conv_id")
-    val chunked = banded
-      .withColumn("chunk", ((row_number().over(w) - 1) / cfg.bucketCap).cast("int"))
-
-    val a = chunked.select($"band", $"bhash", $"chunk", $"conv_id".as("id1"))
-    val b = chunked.select($"band", $"bhash", $"chunk", $"conv_id".as("id2"))
-    val intra = a
-      .join(b, Seq("band", "bhash", "chunk"))
-      .where($"id1" < $"id2")
-      .select($"id1", $"id2")
-
-    // chain chunk hubs so a split bucket stays one connected candidate group
-    val hubs = chunked
-      .groupBy($"band", $"bhash", $"chunk")
-      .agg(min($"conv_id").as("hub"))
-    val hw = Window.partitionBy($"band", $"bhash").orderBy($"chunk")
-    val hubEdges = hubs
-      .withColumn("prev", lag($"hub", 1).over(hw))
-      .where($"prev".isNotNull)
-      .select(least($"prev", $"hub").as("id1"), greatest($"prev", $"hub").as("id2"))
-
-    intra.union(hubEdges)
+    bucketPairs(banded, cfg.bucketCap)
   }
 
   /** SimHash Hamming-ball candidates: 4x16-bit chunk banding guarantees every
     * pair within Hamming distance 3 shares at least one exact chunk
-    * (pigeonhole); the Hamming filter then bounds the final distance.
+    * (pigeonhole); the in-stream Hamming gate bounds the final distance.
     */
   def simhashCandidates(sigs: DataFrame, cfg: Config): DataFrame = {
     val chunks = sigs.select(
-      $"conv_id",
-      $"simhash",
-      posexplode(
-        array((0 until 4).map(i => shiftrightunsigned($"simhash", i * 16).bitwiseAND(lit(0xffffL))): _*)
-      ).as(Seq("ci", "cv"))
+      explode(
+        array((0 until 4).map(i =>
+          xxhash64(shiftrightunsigned($"simhash", i * 16).bitwiseAND(lit(0xffffL)), lit(i))
+        ): _*)
+      ).as("bucket"),
+      $"conv_id".as("id"),
+      $"simhash".as("payload")
     )
-    val w = Window.partitionBy($"ci", $"cv").orderBy($"conv_id")
-    val chunked = chunks.withColumn("chunk", ((row_number().over(w) - 1) / cfg.bucketCap).cast("int"))
-    val a = chunked.select($"ci", $"cv", $"chunk", $"conv_id".as("id1"), $"simhash".as("sh1"))
-    val b = chunked.select($"ci", $"cv", $"chunk", $"conv_id".as("id2"), $"simhash".as("sh2"))
-    a.join(b, Seq("ci", "cv", "chunk"))
-      .where($"id1" < $"id2")
-      .where(T.hamming64($"sh1", $"sh2") <= cfg.simhashMaxHamming)
-      .select($"id1", $"id2")
+    val maxD = cfg.simhashMaxHamming
+    bucketPairs(chunks, cfg.bucketCap, (a, b) => java.lang.Long.bitCount(a ^ b) <= maxD)
   }
 
   /** Exact-long-substring candidates via content-defined winnowing anchors
@@ -155,47 +215,36 @@ object Dedup {
   def substringCandidates(docs: DataFrame, cfg: Config): DataFrame = {
     val anchors = docs
       .select(
-        $"conv_id",
-        explode(T.windowAnchors($"doc", cfg.substringWindow, cfg.substringStride)).as("anchor")
+        explode(T.windowAnchors($"doc", cfg.substringWindow, cfg.substringStride)).as("bucket"),
+        $"conv_id".as("id"),
+        lit(0L).as("payload")
       )
-    val w = Window.partitionBy($"anchor").orderBy($"conv_id")
-    val chunked = anchors.withColumn("chunk", ((row_number().over(w) - 1) / cfg.bucketCap).cast("int"))
-    val a = chunked.select($"anchor", $"chunk", $"conv_id".as("id1"))
-    val b = chunked.select($"anchor", $"chunk", $"conv_id".as("id2"))
-    a.join(b, Seq("anchor", "chunk"))
-      .where($"id1" < $"id2")
-      .select($"id1", $"id2")
+    bucketPairs(anchors, cfg.bucketCap)
   }
 
-  /** Two-stage verification of distinct candidate pairs:
-    *  1. cheap signature-estimate pre-filter (join against 128-int sigs,
-    *     keep est >= threshold - margin) — cuts the heavy shingle-set join;
-    *  2. exact Jaccard on shingle sets (c_org.py:18-28 analogue, by key join
-    *     instead of positional alignment).
-    * Output: (id1, id2, jaccard)
+  /** Verification of distinct candidate pairs against exact shingle-set
+    * Jaccard (c_org.py:18-28 analogue, keyed joins instead of positional
+    * alignment). One fused join pass: pairs pick up (sig, shingles) for each
+    * side in two shuffles total; the cheap 128-int signature estimate gates
+    * the merge-intersection of the full shingle arrays row-locally.
+    * ShingleHashes emits sorted arrays, so exact |∩| is a linear merge
+    * (SortedIntersectSize), not a hash build. Output: (id1, id2, jaccard).
     */
   def verify(cands: DataFrame, sigs: DataFrame, cfg: Config): DataFrame = {
-    val sigOnly = sigs.select($"conv_id", $"sig")
-    val est = cands
+    val side = sigs.select($"conv_id", $"sig", $"shingles")
+    val est = aggregate(
+      zip_with($"sig1", $"sig2", (x, y) => (x === y).cast("int")),
+      lit(0),
+      (acc, x) => acc + x
+    ).cast("double") / cfg.numPerms
+    val inter = SortedIntersectSize($"sh1", $"sh2").cast("double")
+    val uni = (size($"sh1") + size($"sh2")).cast("double") - inter
+    cands
       .distinct()
-      .join(sigOnly.select($"conv_id".as("id1"), $"sig".as("sig1")), "id1")
-      .join(sigOnly.select($"conv_id".as("id2"), $"sig".as("sig2")), "id2")
-      .withColumn(
-        "est",
-        aggregate(
-          zip_with($"sig1", $"sig2", (x, y) => (x === y).cast("int")),
-          lit(0),
-          (acc, x) => acc + x
-        ).cast("double") / cfg.numPerms
-      )
-      .where($"est" >= cfg.threshold - cfg.estMargin)
-      .select($"id1", $"id2")
-
-    val sh = sigs.select($"conv_id", $"shingles")
-    est
-      .join(sh.select($"conv_id".as("id1"), $"shingles".as("sh1")), "id1")
-      .join(sh.select($"conv_id".as("id2"), $"shingles".as("sh2")), "id2")
-      .withColumn("jaccard", T.jaccard($"sh1", $"sh2"))
+      .join(side.select($"conv_id".as("id1"), $"sig".as("sig1"), $"shingles".as("sh1")), "id1")
+      .join(side.select($"conv_id".as("id2"), $"sig".as("sig2"), $"shingles".as("sh2")), "id2")
+      .where(est >= cfg.threshold - cfg.estMargin)
+      .withColumn("jaccard", when(uni === 0d, lit(1.0)).otherwise(inter / uni))
       .where($"jaccard" >= cfg.threshold)
       .select($"id1", $"id2", $"jaccard")
   }
@@ -221,15 +270,19 @@ object Dedup {
       clusters: DataFrame // (conv_id, component)
   )
 
-  /** Full pipeline, lazily declared; caller materializes what it needs. */
+  /** Full pipeline. Reused intermediates are cached (MEMORY_AND_DISK) — the
+    * local analogue of the per-stage checkpoint tables the Checkpointed
+    * runner writes at cluster scale; without it every downstream consumer
+    * re-executes the assemble/shingle/verify chain.
+    */
   def run(spark: SparkSession, transcripts: DataFrame, cfg: Config = Config()): Result = {
-    val docs = assemble(transcripts)
+    val docs = assemble(transcripts).cache() // consumed by shingle, substring pass, cluster
     val shingled = shingle(docs, cfg)
     val sigs = signatures(shingled, cfg).cache() // reused by 3 candidate passes + verify
     var cands = lshCandidates(sigs, cfg)
     if (cfg.simhashEnabled) cands = cands.union(simhashCandidates(sigs, cfg))
     if (cfg.substringEnabled) cands = cands.union(substringCandidates(docs, cfg))
-    val pairs = verify(cands, sigs, cfg)
+    val pairs = verify(cands, sigs, cfg).cache() // consumed by cluster + caller's sink
     val clusters = cluster(spark, docs, pairs)
     Result(docs, sigs, pairs, clusters)
   }

@@ -32,7 +32,11 @@ object ConnectedComponents {
       .filter($"hi" =!= $"lo")
       .distinct()
 
+    def sig(d: DataFrame): (Long, Option[Long]) =
+      d.agg(count(lit(1)), bit_xor(xxhash64($"hi", $"lo"))).as[(Long, Option[Long])].first()
+
     var cur = canon(edges).localCheckpoint(true)
+    var curSig = sig(cur)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -56,12 +60,13 @@ object ConnectedComponents {
         .union(mins2.select($"hi".as("src"), $"mn".as("dst")))
       val next = canon(ss).localCheckpoint(true)
 
-      // convergence: edge set unchanged (count + order-independent XOR checksum)
-      val Array(curSig, nextSig) = Array(cur, next).map { d =>
-        d.agg(count(lit(1)), bit_xor(xxhash64($"hi", $"lo"))).as[(Long, Option[Long])].first()
-      }
+      // convergence: edge set unchanged (count + order-independent XOR
+      // checksum); previous iteration's signature is reused, one agg job per
+      // round
+      val nextSig = sig(next)
       converged = curSig == nextSig
       cur = next
+      curSig = nextSig
       iter += 1
     }
 

@@ -71,6 +71,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(dNear <= 8, s"2/300 token change should stay within small Hamming ball, got $dNear")
   }
 
+  test("fused ShingleHashes agrees with built-in chain on count and set relations") {
+    val docs = Seq(
+      "The  quick, brown FOX jumps over the lazy dog again and again!",
+      "a b", // short -> whole-doc
+      "", // empty -> whole-doc sentinel
+      "one two three four five six one two three four five six" // repeated grams dedup
+    ).zipWithIndex.map { case (t, i) => (s"d$i", t) }
+    val df = docs.toDF("id", "t").select(
+      col("id"),
+      size(T.shingleHashes(T.tokens(col("t")), 5)).as("n_builtin"),
+      size(graft.functions.ShingleHashes(col("t"), 5)).as("n_fused"),
+      graft.functions.ShingleHashes(col("t"), 5).as("sh")
+    )
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"${r.getString(0)}: builtin ${r.getInt(1)} != fused ${r.getInt(2)}")
+      val arr = r.getSeq[Long](3)
+      assert(arr == arr.sorted && arr.distinct == arr, "fused output must be sorted distinct")
+    }
+    // normalization-insensitivity: case/punct/whitespace variants -> same shingles
+    val v = Seq(("a", "Hello,   World! Great big test here"), ("b", "hello world great BIG test here"))
+      .toDF("id", "t").select(col("id"), graft.functions.ShingleHashes(col("t"), 5).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(v("a") == v("b"))
+  }
+
   test("jaccard column function: exact values incl. both-empty") {
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)), // 2/4
