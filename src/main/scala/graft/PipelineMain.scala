@@ -63,7 +63,13 @@ object PipelineMain {
     val t0 = System.nanoTime()
     val nTurns = transcripts.count()
     val res =
-      if (!profile) Dedup.run(spark, transcripts, cfg)
+      if (opts.contains("warehouse")) {
+        val inputFp = opts.get("input") match {
+          case Some(p) => graft.pipeline.TableIO.pathFingerprint(p)
+          case None    => s"synth:${scfg.toString}"
+        }
+        graft.pipeline.CheckpointedDedup.run(spark, transcripts, inputFp, opts("warehouse"), cfg)
+      } else if (!profile) Dedup.run(spark, transcripts, cfg)
       else {
         val docs = Dedup.assemble(transcripts).cache()
         timed("assemble")(docs.count())

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{CheckpointedDedup, Dedup, TableIO}
+import graft.synth.Synth
+
+/** Resume semantics (SURVEY §7.6 / north_rule "resumable from checkpoint
+  * with per-partition lineage + metrics"): mid-pipeline kill + re-run gives
+  * byte-identical output, completed stages are skipped, config changes
+  * invalidate fingerprints.
+  */
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "checkpoint-spec")
+
+  val scfg = Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 10)
+  val cfg = Dedup.Config()
+
+  private def clusterChecksum(dir: String): (Long, Long) = {
+    val df = spark.read.parquet(s"$dir/clusters")
+    (df.count(), df.agg(bit_xor(xxhash64(col("conv_id"), col("component")))).first().getLong(0))
+  }
+
+  private def mtime(wh: String, stage: String): Long =
+    Files.getLastModifiedTime(Paths.get(s"$wh/_manifest/$stage.json")).toMillis
+
+  test("kill-and-resume: byte-identical clusters, completed stages skipped") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val transcripts = Synth.transcripts(spark, scfg).toDF
+    CheckpointedDedup.run(spark, transcripts, "fp0", wh, cfg, verbose = false)
+    val sum1 = clusterChecksum(wh)
+    val mDocs = mtime(wh, "docs")
+    val mSigs = mtime(wh, "sigs")
+
+    // simulate a kill after 'candidates': later stages lose their manifests
+    // (and one loses half-written data — untrusted without manifest)
+    Files.delete(Paths.get(s"$wh/_manifest/pairs.json"))
+    Files.delete(Paths.get(s"$wh/_manifest/clusters.json"))
+    Thread.sleep(20)
+
+    CheckpointedDedup.run(spark, transcripts, "fp0", wh, cfg, verbose = false)
+    val sum2 = clusterChecksum(wh)
+    assert(sum1 == sum2, "resume must reproduce byte-identical clusters")
+    assert(mtime(wh, "docs") == mDocs && mtime(wh, "sigs") == mSigs,
+      "completed upstream stages must be skipped on resume")
+    assert(mtime(wh, "clusters") > mDocs, "killed stages must be rebuilt")
+  }
+
+  test("config change invalidates downstream fingerprints") {
+    val wh = Files.createTempDirectory("graft-wh2").toString
+    val transcripts = Synth.transcripts(spark, scfg).toDF
+    CheckpointedDedup.run(spark, transcripts, "fp0", wh, cfg, verbose = false)
+    val mDocs = mtime(wh, "docs")
+    Thread.sleep(20)
+    CheckpointedDedup.run(spark, transcripts, "fp0", wh, cfg.copy(threshold = 0.8), verbose = false)
+    assert(mtime(wh, "docs") > mDocs, "config change must rebuild dependent stages")
+  }
+
+  test("manifest records lineage files, rows, and wall time") {
+    val wh = Files.createTempDirectory("graft-wh3").toString
+    val transcripts = Synth.transcripts(spark, scfg).toDF
+    CheckpointedDedup.run(spark, transcripts, "fp0", wh, cfg, verbose = false)
+    val m = new String(Files.readAllBytes(Paths.get(s"$wh/_manifest/clusters.json")))
+    assert(m.contains("\"rows\":") && m.contains("\"wall_ms\":") && m.contains("\"files\":["))
+    assert(m.contains(".parquet"))
+    val Some((fp, rows)) = TableIO.readManifest(wh, "clusters")
+    assert(rows > 0 && fp.nonEmpty)
+  }
+}
