@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.BlockClustering
+
+/** Unit fixtures for the MT_Kruskal.R / likelihood.R parity clusterer:
+  * hand-computed dendrogram cuts on small blocks.
+  */
+class BlockClusteringSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "blockclustering-spec")
+  import spark.implicits._
+
+  test("two tight cliques joined by one weak edge are split at the cut") {
+    // clique {0,1,2} sims .95, clique {3,4,5} sims .95, bridge (2,3) sim .55
+    val edges = Array(
+      (0, 1, 0.95), (0, 2, 0.95), (1, 2, 0.95),
+      (3, 4, 0.95), (3, 5, 0.95), (4, 5, 0.95),
+      (2, 3, 0.55)
+    )
+    val lab = BlockClustering.clusterBlock(6, edges)
+    assert(lab(0) == lab(1) && lab(1) == lab(2))
+    assert(lab(3) == lab(4) && lab(4) == lab(5))
+    assert(lab(0) != lab(3), "weak bridge must be cut by the likelihood objective")
+  }
+
+  test("uniformly tight block stays one cluster") {
+    val edges = for { i <- 0 until 5; j <- i + 1 until 5 } yield (i, j, 0.9)
+    val lab = BlockClustering.clusterBlock(5, edges.toArray)
+    assert(lab.distinct.length == 1)
+  }
+
+  test("all-weak block stays singletons") {
+    // sims below 0.5 have negative logit: merging them lowers L
+    val edges = Array((0, 1, 0.2), (1, 2, 0.3), (0, 2, 0.25))
+    val lab = BlockClustering.clusterBlock(3, edges)
+    assert(lab.distinct.length == 3)
+  }
+
+  test("refine splits a chained component, keeps tight ones, covers all ids") {
+    val clusters = Seq(
+      ("a1", "A"), ("a2", "A"), ("a3", "A"), ("b1", "A"), ("b2", "A"), ("b3", "A"),
+      ("t1", "T"), ("t2", "T"),
+      ("s1", "s1") // singleton block
+    ).toDF("conv_id", "component")
+    val pairs = Seq(
+      ("a1", "a2", 0.95), ("a1", "a3", 0.95), ("a2", "a3", 0.95),
+      ("b1", "b2", 0.95), ("b1", "b3", 0.95), ("b2", "b3", 0.95),
+      ("a3", "b1", 0.55), // the chain that glued A
+      ("t1", "t2", 0.9)
+    ).toDF("id1", "id2", "jaccard")
+    val out = BlockClustering.refine(spark, clusters, pairs).cache()
+    assert(out.count() == 9, "every conv keeps exactly one row")
+    val m = out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("a1") == m("a2") && m("a2") == m("a3"))
+    assert(m("b1") == m("b2") && m("b2") == m("b3"))
+    assert(m("a1") != m("b1"), "chained block must be split")
+    assert(m("t1") == m("t2"))
+    assert(m("s1") == "s1")
+  }
+}

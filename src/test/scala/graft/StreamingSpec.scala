@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Eval}
+import graft.streaming.IncrementalDedup
+import graft.synth.Synth
+
+/** Incremental (Structured Streaming, AvailableNow) pipeline equivalence:
+  * streaming the corpus in micro-batches must find the same dup pairs as the
+  * batch pipeline, including pairs that SPAN batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "streaming-spec")
+
+  test("AvailableNow incremental dedup matches batch pipeline pairs") {
+    val scfg = Synth.Config(nClusters = 100, boilerClusters = 1, boilerSize = 8)
+    val cfg = Dedup.Config()
+    val transcripts = Synth.transcripts(spark, scfg).toDF.cache()
+
+    // batch reference answer
+    val batchPairs = Dedup.run(spark, transcripts, cfg).pairs
+      .select(col("id1"), col("id2")).cache()
+    val nBatch = batchPairs.count()
+    assert(nBatch > 50)
+
+    // write input split into several files so AvailableNow produces multiple
+    // micro-batches; split BY CONVERSATION (append-only conv-complete)
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$tmp/in"
+    transcripts
+      .withColumn("part", pmod(xxhash64(col("conv_id")), lit(8)))
+      .repartition(8, col("part"))
+      .drop("part")
+      .write.parquet(inDir)
+
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+    IncrementalDedup.runAvailableNow(spark, inDir, stores, cfg, maxFilesPerTrigger = 2)
+
+    val streamPairs = spark.read.parquet(stores.pairStore)
+      .select(col("id1"), col("id2")).distinct().cache()
+    val nStream = streamPairs.count()
+    val missing = batchPairs.exceptAll(streamPairs).count()
+    val extra = streamPairs.exceptAll(batchPairs).count()
+    info(s"batch pairs: $nBatch, stream pairs: $nStream, missing: $missing, extra: $extra")
+    // substring pass is LSH/SimHash-only in streaming; allow a small delta
+    // from substring-only candidates, but LSH-detectable pairs must all be
+    // present and nothing spurious may appear
+    assert(extra == 0, s"stream must not invent pairs: $extra extra")
+    assert(missing.toDouble / nBatch <= 0.02, s"missing $missing of $nBatch batch pairs")
+
+    // clustering over accumulated pairs covers all convs
+    val clusters = IncrementalDedup.clusterNow(spark, stores)
+    assert(clusters.count() == transcripts.select("conv_id").distinct().count())
+  }
+}
