@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.{text => T}
+
+/** Text-analysis operators for a large-scale training-data pipeline — all
+  * built-in (codegen'd) column expressions, no UDFs: language-ID by stopword
+  * n-gram profiles, quality scoring, token counting, document fingerprints.
+  */
+object TextAnalysis {
+
+  /** tiny per-language stopword profiles (top function words) */
+  val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "de", "que", "es", "un", "una", "por")
+  )
+
+  /** Per-language stopword hit count over the distinct token set. */
+  def stopwordHits(tokens: Column): Map[String, Column] =
+    profiles.map { case (lang, words) =>
+      lang -> size(array_intersect(array_distinct(tokens), array(words.map(lit): _*)))
+    }
+
+  /** Heuristic language id: the profile with the most stopword hits, "und"
+    * (undetermined) when nothing matches. Deterministic tie-break by
+    * language code order.
+    */
+  def langId(text: Column): Column = {
+    val toks = T.tokens(text)
+    val hits = stopwordHits(toks).toSeq.sortBy(_._1)
+    val best = hits.tail.foldLeft(struct(hits.head._2.as("n"), lit(hits.head._1).as("lang"))) {
+      case (acc, (lang, n)) =>
+        when(n > acc.getField("n"), struct(n.as("n"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    when(best.getField("n") >= 1, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(T.tokens(text))
+
+  /** BPE-ish subword count: word-boundary pieces + digit runs + punctuation
+    * marks each count as a token (regex segmentation, a public-tokenizer-like
+    * upper bound without a vocab file).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[\\p{L}])(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|\\s+|(?=[^\\p{L}\\p{N}\\s])"), t => length(t) > 0))
+
+  /** Quality metrics struct: sizes, ratios, repetition — the building blocks
+    * of Gopher/C4-style quality filters.
+    */
+  def qualityMetrics(text: Column): Column = {
+    val toks = T.tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val punct = (length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double"))
+    val stops = stopwordHits(toks).values.reduce(_ + _).cast("double")
+    struct(
+      nTok.cast("long").as("n_tokens"),
+      nChar.cast("long").as("n_chars"),
+      when(nTok > 0, nChar / nTok).otherwise(lit(0.0)).as("mean_token_len"),
+      when(nChar > 0, punct / nChar).otherwise(lit(0.0)).as("punct_ratio"),
+      when(nTok > 0, nDistinct / nTok).otherwise(lit(0.0)).as("distinct_ratio"),
+      when(nTok > 0, stops / nTok).otherwise(lit(0.0)).as("stopword_ratio")
+    )
+  }
+
+  /** Scalar quality score in [0,1]: penalize too-short docs, extreme
+    * punctuation, heavy repetition (low distinct ratio).
+    */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text)
+    val lenScore = least(m.getField("n_tokens").cast("double") / 20.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - m.getField("punct_ratio") * 4)
+    val repScore = m.getField("distinct_ratio")
+    round(lenScore * 0.4 + punctScore * 0.3 + repScore * 0.3, 6)
+  }
+
+  /** 64-bit document fingerprint of normalized content (rolling-hash based —
+    * whitespace/punctuation-insensitive exact-dup key).
+    */
+  def fingerprint(text: Column): Column = xxhash64(T.normalize(text))
+}

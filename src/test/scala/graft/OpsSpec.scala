@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Ann, Multimodal, TextAnalysis}
+
+/** Specs for the training-pipeline extras: text analysis, ANN, multimodal. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "ops-spec")
+  import spark.implicits._
+
+  // ---------- TextAnalysis ----------
+
+  test("langId identifies stopword-bearing languages, und otherwise") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and it is happy"),
+      ("de", "der hund ist nicht mit der katze und das ist gut"),
+      ("fr", "le chien est dans la maison et les chats pour toujours"),
+      ("und", "zzz qqq www xxx yyy")
+    ).toDF("expect", "text").withColumn("got", TextAnalysis.langId(col("text")))
+    df.collect().foreach(r => assert(r.getString(0) == r.getString(2), r.toString))
+  }
+
+  test("quality metrics and score behave directionally") {
+    val df = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog and then it runs far away home tonight again happily ever after"),
+      ("repet", Seq.fill(30)("spam").mkString(" ")),
+      ("short", "hi"),
+      ("punct", "!!! ??? ;;; ### $$$ %%% @@@ !!!")
+    ).toDF("kind", "text").withColumn("score", TextAnalysis.qualityScore(col("text")))
+    val m = df.collect().map(r => r.getString(0) -> r.getAs[Double]("score")).toMap
+    assert(m("good") > m("repet"), s"$m")
+    assert(m("good") > m("short"), s"$m")
+    assert(m("good") > m("punct"), s"$m")
+  }
+
+  test("token and subword counts") {
+    val df = Seq("hello world foo", "don't count2x wrongly!").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("t"), TextAnalysis.subwordCount(col("text")).as("s"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 3)
+    // don | 't | count | 2 | x | wrongly | ! -> 7 subword pieces
+    assert(rows(1).getInt(1) == 7, rows(1).toString)
+  }
+
+  test("fingerprint is whitespace/punct-insensitive exact-dup key") {
+    val df = Seq("Hello,  World!", "hello world", "other doc").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("f"))
+    val fs = df.collect().map(_.getLong(0))
+    assert(fs(0) == fs(1) && fs(0) != fs(2))
+  }
+
+  // ---------- Ann ----------
+
+  private def mkVecs(n: Int, dim: Int, seed: Long): Seq[(String, Seq[Float])] =
+    (0 until n).map { i =>
+      val v = (0 until dim).map { d =>
+        (java.lang.Long.remainderUnsigned(
+          graft.functions.MinHashImpl.mix64(seed + i * 131L + d), 2000
+        ) / 1000.0 - 1.0).toFloat
+      }
+      (s"v$i", v)
+    }
+
+  test("brute-force cosine top-k: self-similar planted neighbor ranks first") {
+    val base = mkVecs(50, 16, 7L)
+    val planted = base.take(5).map { case (id, v) =>
+      (id + "_dup", v.map(x => x + 0.01f)) // near-identical
+    }
+    val corpus = (base ++ planted).toDF("id", "vec")
+    val queries = base.take(5).toDF("id", "vec")
+    val top = Ann.bruteForceTopK(queries, corpus, 3).cache()
+    val first = top.where(col("rank") === 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (0 until 5).foreach(i => assert(first(s"v$i") == s"v${i}_dup", first.toString))
+  }
+
+  test("sign-LSH top-k reaches high recall@3 vs brute force on clustered embeddings") {
+    // realistic regime: corpus has genuine near neighbors (clustered), which
+    // is when bucketed ANN is applicable at all — uniform random vectors have
+    // no near neighbors and every method degenerates to brute force
+    val centers = mkVecs(60, 16, 11L)
+    val members = centers.zipWithIndex.flatMap { case ((cid, c), ci) =>
+      (0 until 5).map { m =>
+        val v = c.zipWithIndex.map { case (x, d) =>
+          x + (java.lang.Long.remainderUnsigned(
+            graft.functions.MinHashImpl.mix64(977L + ci * 31L + m * 7L + d), 100
+          ) / 2000.0f - 0.025f)
+        }
+        (s"c${ci}m$m", v)
+      }
+    }
+    val corpus = members.toDF("id", "vec").cache()
+    val queries = members.filter(_._1.endsWith("m0")).take(20).toDF("id", "vec")
+    val exact = Ann.bruteForceTopK(queries, corpus, 3)
+      .select(col("query_id"), col("neighbor_id")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val approx = Ann.lshTopK(queries, corpus, dim = 16, k = 3)
+      .select(col("query_id"), col("neighbor_id")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"ANN recall@3 = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f")
+  }
+
+  test("embedding near-dup pairs finds planted duplicates") {
+    val base = mkVecs(100, 16, 13L)
+    val dups = base.take(10).map { case (id, v) => (id + "_d", v.map(x => x + 0.005f)) }
+    val corpus = (base ++ dups).toDF("id", "vec")
+    val pairs = Ann.nearDupPairs(corpus, dim = 16, threshold = 0.999).cache()
+    val found = pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = (0 until 10).map(i => (s"v$i", s"v${i}_d")).toSet
+    val hit = expected.count(p => found.contains(p) || found.contains(p.swap))
+    info(s"planted dup pairs found: $hit/10, total pairs: ${found.size}")
+    assert(hit >= 9)
+  }
+
+  // ---------- Multimodal ----------
+
+  test("multimodal synth is deterministic; decode stub parses headers") {
+    val a = Multimodal.synth(spark, 50)
+    val b = Multimodal.synth(spark, 50)
+    assert(a.agg(bit_xor(xxhash64(col("asset_id"), col("bytes")))).first().getLong(0) ==
+      b.agg(bit_xor(xxhash64(col("asset_id"), col("bytes")))).first().getLong(0))
+    val d = Multimodal.decodeStub(a).cache()
+    assert(d.where(!col("decoded.ok")).count() == 0, "all fake headers must parse")
+    assert(d.where(col("decoded.dec_width") =!= col("width")).count() == 0)
+    assert(d.where(col("decoded.dec_frames") =!= col("n_frames")).count() == 0)
+  }
+
+  test("frame sampling explodes video/audio into stride-sampled frames") {
+    val df = Multimodal.synth(spark, 60)
+    val frames = Multimodal.sampleFrames(df, stride = 2).cache()
+    assert(frames.count() > 60)
+    // frame count per video asset = ceil(n_frames / 2)
+    val joined = frames.groupBy("asset_id").agg(count(lit(1)).as("got"))
+      .join(df.select(col("asset_id"), col("n_frames"), col("modality")), "asset_id")
+      .where(col("modality") === "video")
+      .where(col("got") =!= ceil(col("n_frames") / 2.0).cast("long"))
+    assert(joined.count() == 0)
+    // frames are non-empty and bounded
+    assert(frames.where(length(col("frame_bytes")) <= 0).count() == 0)
+  }
+
+  test("byte histograms: 16 bins summing to body size") {
+    val df = Multimodal.synth(spark, 30)
+    val h = Multimodal.histograms(spark, df)
+      .join(df.select(col("asset_id"), (length(col("bytes")) - 16).as("body")), "asset_id")
+    val bad = h.where(aggregate(col("hist"), lit(0), (a, x) => a + x) =!= col("body")).count()
+    assert(bad == 0)
+    assert(h.where(size(col("hist")) =!= 16).count() == 0)
+  }
+}
