@@ -378,6 +378,46 @@ object SparkEntry {
       val cfg = Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 12)
       Dedup.run(s, Synth.transcripts(s, cfg).toDF, Dedup.Config())
         .clusters.groupBy($"component").agg(count(lit(1)).as("size"))
+    }),
+
+    // ---- quality scoring + token stats (training-data filter ops)
+    "t01_quality" -> ((s, d) => {
+      t(s, d, "documents")
+        .select($"doc_id", graft.ops.TextAnalysis.qualityMetrics($"text").as("m"))
+        .select(
+          $"doc_id",
+          $"m.n_tokens".as("n_tokens"),
+          round($"m.distinct_ratio", 6).as("distinct_ratio"),
+          round($"m.mean_token_len", 6).as("mean_token_len")
+        )
+    }),
+
+    // ---- subword segmentation count (RE2 lacks lookarounds: rows-only)
+    "t02_subword" -> ((s, d) => {
+      t(s, d, "documents")
+        .select($"doc_id", graft.ops.TextAnalysis.subwordCount($"text").as("n_subwords"))
+    }),
+
+    // ---- sign-LSH bucketed ANN over embeddings (rows-only approximate op)
+    "a02_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select($"vec_id".cast("string").as("id"), $"embedding".as("vec"))
+      val queries = emb.where($"id".cast("long") % 50 === 0)
+      graft.ops.Ann.lshTopK(queries, emb, dim = 64, k = 3, nBits = 6, nTables = 12)
+    }),
+
+    // ---- embedding-cosine near-dup pairs (rows-only approximate op)
+    "a03_embedding_neardup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select($"vec_id".cast("string").as("id"), $"embedding".as("vec"))
+      graft.ops.Ann.nearDupPairs(emb, dim = 64, threshold = 0.30, nBits = 6, nTables = 8)
+    }),
+
+    // ---- multimodal plumbing: synth binary assets -> decode stub -> frame
+    // sampling -> per-modality frame counts (rows-only; no external media)
+    "m01_multimodal_frames" -> ((s, _) => {
+      val assets = graft.ops.Multimodal.synth(s, 500)
+      graft.ops.Multimodal.sampleFrames(assets, stride = 2)
+        .groupBy($"modality")
+        .agg(count(lit(1)).as("n_frames"), countDistinct($"asset_id").as("n_assets"))
     })
   )
 
@@ -519,6 +559,13 @@ object SparkEntry {
         |    ['the', 'a', 'of', 'and', 'to'])) AS INT) AS stop_hits,
         |  CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
         |    ['the', 'a', 'of', 'and', 'to'])) >= 1 THEN 'en' ELSE 'other' END AS lang_guess
+        |FROM documents""".stripMargin,
+    "t01_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS distinct_ratio,
+        |  ROUND(CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_token_len
         |FROM documents""".stripMargin,
     "e01_cosine_topk" ->
       """WITH q AS (
