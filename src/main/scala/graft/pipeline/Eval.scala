@@ -65,6 +65,43 @@ object Eval {
     if (total == 0) 1.0 else hit.toDouble / total
   }
 
+  /** Macro (per-block mean) pairwise F1 — evaluate.py:136-152's per-name
+    * scoring: P/R/F1 computed within each block independently, then averaged
+    * over blocks that contain at least one truth pair. `blocks`:
+    * (conv_id, block).
+    */
+  def pairwiseMacro(
+      spark: SparkSession,
+      pred: DataFrame,
+      truth: DataFrame,
+      blocks: DataFrame
+  ): Double = {
+    import spark.implicits._
+    val joined = pred
+      .join(truth, "conv_id")
+      .join(blocks, "conv_id")
+    def pairsPerBlock(df: DataFrame, keyCols: Seq[String]): DataFrame =
+      df.groupBy(col("block") +: keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("block"))
+        .agg(expr("sum(n * (n - 1) DIV 2)").as("p"))
+    val tp = pairsPerBlock(joined, Seq("component", "cluster_id")).withColumnRenamed("p", "tp")
+    val tr = pairsPerBlock(joined, Seq("cluster_id")).withColumnRenamed("p", "truthp")
+    val pr = pairsPerBlock(joined, Seq("component")).withColumnRenamed("p", "predp")
+    val per = tr
+      .join(tp, Seq("block"), "left_outer")
+      .join(pr, Seq("block"), "left_outer")
+      .where(col("truthp") > 0)
+      .select(
+        (coalesce(col("tp"), lit(0L)).cast("double") / col("truthp")).as("r"),
+        when(coalesce(col("predp"), lit(0L)) > 0,
+          coalesce(col("tp"), lit(0L)).cast("double") / col("predp")).otherwise(lit(1.0)).as("p")
+      )
+      .select(when(col("p") + col("r") > 0, lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+        .otherwise(lit(0.0)).as("f1"))
+    per.agg(avg(col("f1"))).as[Option[Double]].first().getOrElse(1.0)
+  }
+
   /** Brute-force exact-Jaccard oracle pairs at small n (test-only): all pairs
     * of assembled docs with shingle-set Jaccard >= threshold — the reference-
     * semantics ground truth (all-pairs scoring, id_pairs.py:21-23 analogue).
