@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-block all-pairs shortest-path features — the reference's
+  * similarity-graph distance features (shortpath.py:44-77: edge weight
+  * 1/sim for sim>0, Dijkstra all-pairs, feature 1/dist else 0; unweighted
+  * variant short_path.R:65-85 with coau_dist = 2/dist). Blocks are the
+  * connected components of the verified-pair graph, which are small after
+  * LSH blocking, so each block's Dijkstra runs in-memory inside
+  * `flatMapGroups` (SURVEY §2.9 G6/G7 — distributed APSP is a non-goal).
+  */
+object GraphFeatures {
+
+  /** Dijkstra from every node (binary-heap, O(V E log V) per block). */
+  private def allPairs(n: Int, adj: Array[List[(Int, Double)]]): Array[Array[Double]] = {
+    val out = Array.fill(n)(Array.fill(n)(Double.PositiveInfinity))
+    var s = 0
+    while (s < n) {
+      val dist = out(s)
+      dist(s) = 0.0
+      val pq = new java.util.PriorityQueue[(Double, Int)](11, Ordering.by[(Double, Int), Double](_._1))
+      pq.add((0.0, s))
+      while (!pq.isEmpty) {
+        val (d, u) = pq.poll()
+        if (d <= dist(u)) {
+          adj(u).foreach { case (v, w) =>
+            if (d + w < dist(v)) { dist(v) = d + w; pq.add((d + w, v)) }
+          }
+        }
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** For each within-block pair (observed or not): shortest-path feature
+    * `1/dist` with edge weight `1/sim` (shortpath.py:48,75), 0 when
+    * disconnected. Emits all C(n,2) pairs per block (the reference emits the
+    * full pair matrix per name) — callers cap block size upstream.
+    * clusters: (conv_id, component); pairs: (id1, id2, jaccard).
+    * Output: (id1, id2, sp_feature).
+    */
+  def shortestPathFeatures(
+      spark: SparkSession,
+      clusters: DataFrame,
+      pairs: DataFrame,
+      maxBlock: Int = 512
+  ): DataFrame = {
+    import spark.implicits._
+    val c1 = clusters.select(col("conv_id").as("id1"), col("component"))
+    val withComp = pairs.join(c1, "id1")
+      .select(col("component"), col("id1"), col("id2"), col("jaccard"))
+    val rows = clusters
+      .select(col("component"), col("conv_id"), lit(null).cast("string").as("id2"), lit(0.0).as("jaccard"))
+      .unionByName(withComp.select(col("component"), col("id1").as("conv_id"), col("id2"), col("jaccard")))
+
+    rows
+      .as[(String, String, Option[String], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+        val edges = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+        it.foreach {
+          case (_, a, None, _) => ids.getOrElseUpdate(a, ids.size)
+          case (_, a, Some(b), s) =>
+            ids.getOrElseUpdate(a, ids.size); ids.getOrElseUpdate(b, ids.size)
+            if (s > 0) edges += ((a, b, s))
+        }
+        val n = ids.size
+        if (n < 2 || n > maxBlock) Iterator.empty
+        else {
+          val adj = Array.fill(n)(List.empty[(Int, Double)])
+          edges.foreach { case (a, b, s) =>
+            val (i, j, w) = (ids(a), ids(b), 1.0 / s)
+            adj(i) = (j, w) :: adj(i)
+            adj(j) = (i, w) :: adj(j)
+          }
+          val dist = allPairs(n, adj)
+          val names = ids.keys.toArray
+          for {
+            i <- Iterator.range(0, n)
+            j <- Iterator.range(i + 1, n)
+          } yield {
+            val d = dist(i)(j)
+            val f = if (d.isInfinity || d == 0.0) 0.0 else 1.0 / d
+            if (names(i) < names(j)) (names(i), names(j), f) else (names(j), names(i), f)
+          }
+        }
+      }
+      .toDF("id1", "id2", "sp_feature")
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraphFeatures
+
+/** shortpath.py parity fixture: weight 1/sim, feature 1/dist, 0 when
+  * disconnected; indirect paths accumulate weights.
+  */
+class GraphFeaturesSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "graphfeat-spec")
+  import spark.implicits._
+
+  test("path features: direct, transitive, and disconnected pairs") {
+    val clusters = Seq(
+      ("a", "C"), ("b", "C"), ("c", "C"), ("d", "C"), // chain a-b-c, d isolated
+      ("x", "X"), ("y", "X") // another block
+    ).toDF("conv_id", "component")
+    val pairs = Seq(
+      ("a", "b", 0.5), // w=2
+      ("b", "c", 0.25), // w=4
+      ("x", "y", 1.0) // w=1
+    ).toDF("id1", "id2", "jaccard")
+    val feats = GraphFeatures.shortestPathFeatures(spark, clusters, pairs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(feats(("a", "b")) == 0.5) // 1/2
+    assert(feats(("b", "c")) == 0.25) // 1/4
+    assert(feats(("a", "c")) == 1.0 / 6.0) // via b: 2+4
+    assert(feats(("a", "d")) == 0.0 && feats(("c", "d")) == 0.0) // disconnected
+    assert(feats(("x", "y")) == 1.0)
+    assert(feats.size == 7, s"C(4,2)+C(2,2)=7 pairs, got ${feats.size}") // full pair matrix per block
+  }
+}
