@@ -27,8 +27,13 @@ object Bench {
     * (real deployments read storage; generation is not part of the measured
     * pipeline); returns wall seconds
     */
-  private def pipelineWall(cores: Int, inputDir: String): (Long, Double) = {
+  private def pipelineWall(cores: Int, inputDir: String): (Long, Double, Double) = {
     val spark = Sessions.local(cores, s"graft-bench-$cores")
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) cpuNanos.addAndGet(te.taskMetrics.executorCpuTime)
+    })
     try {
       val transcripts = spark.read.parquet(inputDir)
       val t0 = System.nanoTime()
@@ -36,7 +41,7 @@ object Bench {
       val res = Dedup.run(spark, transcripts, Dedup.Config())
       res.clusters.write.mode("overwrite").format("noop").save()
       res.pairs.write.mode("overwrite").format("noop").save()
-      (nTurns, (System.nanoTime() - t0) / 1e9)
+      (nTurns, (System.nanoTime() - t0) / 1e9, cpuNanos.get() / 1e9)
     } finally spark.stop()
   }
 
@@ -64,10 +69,10 @@ object Bench {
       Seq(8 -> pipelineWall(8, inputDir), 2 -> pipelineWall(2, inputDir))
     }
     val byCores = runs.groupBy(_._1).map { case (c, rs) =>
-      c -> (rs.head._2._1, rs.map(_._2._2).min)
+      c -> (rs.head._2._1, rs.map(_._2._2).min, rs.map(_._2._3).min)
     }
-    val (nTurns, t8) = byCores(8)
-    val (_, t2) = byCores(2)
+    val (nTurns, t8, cpu8) = byCores(8)
+    val (_, t2, cpu2) = byCores(2)
     val efficiency = (t2 / t8) / 4.0
 
     val qs = qTimes.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
@@ -76,7 +81,8 @@ object Bench {
       f"""{"metric":"e2e_dedup+queries","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         f""""dedup":{"turns":$nTurns,"wall_sec_8c":$t8%.2f,"turns_per_sec_8c":${nTurns / t8}%.1f},""" +
         f""""scaling":{"cores_n":2,"cores_4n":8,"wall_sec_n":$t2%.2f,"wall_sec_4n":$t8%.2f,""" +
-        f""""turns_per_sec_n":${nTurns / t2}%.1f,"turns_per_sec_4n":${nTurns / t8}%.1f,"efficiency":$efficiency%.3f}}"""
+        f""""turns_per_sec_n":${nTurns / t2}%.1f,"turns_per_sec_4n":${nTurns / t8}%.1f,"efficiency":$efficiency%.3f,""" +
+        f""""cpu_sec_n":$cpu2%.1f,"cpu_sec_4n":$cpu8%.1f,"cpu_efficiency":${cpu2 / cpu8}%.3f}}"""
     )
   }
 }

@@ -88,8 +88,14 @@ object PipelineMain {
         timed("cc_count")(clusters.count())
         Dedup.Result(docs, sigs, pairs, clusters)
       }
+    // optional likelihood-cut refinement of the CC clustering
+    // (MT_Kruskal.R/likelihood.R parity path)
+    val finalClusters =
+      if (opts.get("refine").contains("true"))
+        graft.plans.BlockClustering.refine(spark, res.clusters, res.pairs)
+      else res.clusters
     timed("write") {
-      res.clusters.write.mode("overwrite").parquet(s"$out/clusters")
+      finalClusters.write.mode("overwrite").parquet(s"$out/clusters")
       res.pairs.write.mode("overwrite").parquet(s"$out/pairs")
     }
     val wall = (System.nanoTime() - t0) / 1e9

@@ -107,6 +107,54 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** IVF-style ANN: a KMeans coarse quantizer (seeded, deterministic)
+    * partitions the corpus into nCells inverted lists; each query probes its
+    * nProbe nearest centroids and brute-forces only those lists — the
+    * standard billion-scale layout (IVF-Flat), expressed as two broadcast
+    * joins + a windowed top-k. Returns (query_id, neighbor_id, cos, rank).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 3,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val spark = corpus.sparkSession
+
+    val toVec = corpus.select(col("id"), col("vec"),
+      array_to_vector(transform(col("vec"), x => x.cast("double"))).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
+      .fit(toVec)
+    val lists = km.transform(toVec).select(col("id").as("neighbor_id"), col("vec").as("nv"), col("cell"))
+
+    // centroid table, broadcast to score query->cell distances
+    val cents = km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    import spark.implicits._
+    val centDf = cents.toDF("cell", "centroid")
+    val qCells = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist", aggregate(
+        zip_with(col("qv"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (s, x) => s + x))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+    val probes = qCells.withColumn("pr", row_number().over(wProbe)).where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    probes
+      .join(lists, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH buckets
     * feed the same chunked pair generator idea as text dedup; exact cosine
     * gate at `threshold`. Output: (id1, id2, cos).

@@ -67,6 +67,14 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(s.precision >= 0.95, f"planted precision ${s.precision}%.4f")
   }
 
+  test("likelihood-cut refinement preserves planted-truth quality") {
+    val refined = graft.plans.BlockClustering.refine(spark, clusters, result.pairs)
+    assert(refined.count() == clusters.count(), "refinement must keep every conversation")
+    val s = Eval.pairwise(spark, refined, truth.select(col("conv_id"), col("cluster_id")))
+    info(f"refined: P=${s.precision}%.4f R=${s.recall}%.4f F1=${s.f1}%.4f")
+    assert(s.precision >= 0.95 && s.recall >= 0.93, s"refined P=${s.precision} R=${s.recall}")
+  }
+
   test("shuffle_ws variants are byte-identical after normalization (exact dups)") {
     val ws = truth.where(col("variant") === "shuffle_ws")
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n")).where(col("n") > 1)

@@ -102,6 +102,29 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.3f")
   }
 
+  test("IVF top-k reaches high recall@3 vs brute force on clustered embeddings") {
+    val centers = mkVecs(40, 16, 23L)
+    val members = centers.zipWithIndex.flatMap { case ((_, c), ci) =>
+      (0 until 6).map { m =>
+        val v = c.zipWithIndex.map { case (x, d) =>
+          x + (java.lang.Long.remainderUnsigned(
+            graft.functions.MinHashImpl.mix64(571L + ci * 37L + m * 11L + d), 100
+          ) / 2000.0f - 0.025f)
+        }
+        (s"c${ci}m$m", v)
+      }
+    }
+    val corpus = members.toDF("id", "vec").cache()
+    val queries = members.filter(_._1.endsWith("m0")).take(15).toDF("id", "vec")
+    val exact = Ann.bruteForceTopK(queries, corpus, 3)
+      .select(col("query_id"), col("neighbor_id")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val approx = Ann.ivfTopK(queries, corpus, k = 3, nCells = 12, nProbe = 3)
+      .select(col("query_id"), col("neighbor_id")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"IVF recall@3 = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f")
+  }
+
   test("embedding near-dup pairs finds planted duplicates") {
     val base = mkVecs(100, 16, 13L)
     val dups = base.take(10).map { case (id, v) => (id + "_d", v.map(x => x + 0.005f)) }
