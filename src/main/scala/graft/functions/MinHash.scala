@@ -35,17 +35,18 @@ object MinHashImpl {
     out
   }
 
-  /** Signature over a set of 64-bit shingle hashes. Empty set -> all
-    * Int.MaxValue (two empty docs still collide, handled at verify).
+  /** Signature over a set of shingle hashes (32- or 64-bit elements).
+    * Empty set -> all Int.MaxValue (two empty docs still collide, handled at
+    * verify).
     */
-  def signature(shingles: ArrayData, coeffs: Array[Long]): ArrayData = {
+  def signature(shingles: ArrayData, coeffs: Array[Long], intElems: Boolean): ArrayData = {
     val nPerm = coeffs.length / 2
     val sig = new Array[Int](nPerm)
     java.util.Arrays.fill(sig, Int.MaxValue)
     val n = shingles.numElements()
     var j = 0
     while (j < n) {
-      val x64 = shingles.getLong(j)
+      val x64 = if (intElems) shingles.getInt(j).toLong else shingles.getLong(j)
       val x = ((x64 ^ (x64 >>> 32)) & 0x7fffffffL) // fold to 31 bits
       var i = 0
       while (i < nPerm) {
@@ -71,12 +72,17 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
 
   @transient private lazy val cs: Array[Long] = MinHashImpl.coeffs(numPerms, seed)
 
+  private def intElems: Boolean = child.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _                         => false
+  }
+
   override def nullSafeEval(input: Any): Any =
-    MinHashImpl.signature(input.asInstanceOf[ArrayData], cs)
+    MinHashImpl.signature(input.asInstanceOf[ArrayData], cs, intElems)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("minhashCoeffs", cs, "long[]")
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.MinHashImpl.signature($c, $ref);")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.MinHashImpl.signature($c, $ref, $intElems);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =

@@ -22,11 +22,17 @@ object ShingleHashesImpl {
     * merge-based intersection downstream). Docs with < k tokens emit one
     * whole-document hash.
     */
+  /** Gram hashes are emitted as 32-bit ints (top half of the 64-bit mix):
+    * at 10^12-turn scale the shingle arrays are the single largest cached and
+    * shuffled payload, and halving their width halves that memory traffic;
+    * the cost is ~|A|x|B|/2^32 expected spurious intersections per verified
+    * pair (~1e-3 for 2k-shingle docs) — far below any threshold granularity.
+    */
   def shingles(s: UTF8String, k: Int): GenericArrayData = {
     val str = s.toString
     val n = str.length
     val ring = new Array[Long](k)
-    var out = new Array[Long](math.max(16, n / 4))
+    var out = new Array[Int](math.max(16, n / 4))
     var outN = 0
     var tokHash = TB
     var inTok = false
@@ -53,7 +59,7 @@ object ShingleHashesImpl {
             j += 1
           }
           if (outN == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
-          out(outN) = MinHashImpl.mix64(g)
+          out(outN) = (MinHashImpl.mix64(g) >>> 32).toInt
           outN += 1
         }
         tokHash = TB
@@ -63,7 +69,7 @@ object ShingleHashesImpl {
     }
     if (tokCount < k) {
       // short doc: single whole-document shingle (empty doc included)
-      return new GenericArrayData(Array(MinHashImpl.mix64(allHash)))
+      return new GenericArrayData(Array((MinHashImpl.mix64(allHash) >>> 32).toInt))
     }
     val trimmed = java.util.Arrays.copyOf(out, outN)
     java.util.Arrays.sort(trimmed)
@@ -83,7 +89,7 @@ object ShingleHashesImpl {
   * analogue) as a single codegen'd Catalyst expression.
   */
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
     ShingleHashesImpl.shingles(input.asInstanceOf[UTF8String], k)

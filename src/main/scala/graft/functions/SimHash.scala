@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
 
 object SimHashImpl {
   /** Charikar SimHash over token hashes (multiplicity = weight): each of the
-    * 64 bit-planes accumulates +1/-1 per token, sign gives the fingerprint bit.
+    * 64 bit-planes accumulates +1/-1 per token, sign gives the fingerprint
+    * bit. 32-bit inputs are re-mixed to spread over all 64 planes.
     */
-  def simhash64(tokenHashes: ArrayData): Long = {
+  def simhash64(tokenHashes: ArrayData, intElems: Boolean): Long = {
     val acc = new Array[Int](64)
     val n = tokenHashes.numElements()
     var j = 0
     while (j < n) {
-      val h = tokenHashes.getLong(j)
+      val h =
+        if (intElems) MinHashImpl.mix64(tokenHashes.getInt(j).toLong)
+        else tokenHashes.getLong(j)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -41,11 +44,16 @@ object SimHashImpl {
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
+  private def intElems: Boolean = child.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _                         => false
+  }
+
   override def nullSafeEval(input: Any): Any =
-    SimHashImpl.simhash64(input.asInstanceOf[ArrayData])
+    SimHashImpl.simhash64(input.asInstanceOf[ArrayData], intElems)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.SimHashImpl.simhash64($c);")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.SimHashImpl.simhash64($c, $intElems);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

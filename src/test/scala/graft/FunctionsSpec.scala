@@ -86,13 +86,13 @@ class FunctionsSpec extends AnyFunSuite {
     )
     df.collect().foreach { r =>
       assert(r.getInt(1) == r.getInt(2), s"${r.getString(0)}: builtin ${r.getInt(1)} != fused ${r.getInt(2)}")
-      val arr = r.getSeq[Long](3)
+      val arr = r.getSeq[Int](3)
       assert(arr == arr.sorted && arr.distinct == arr, "fused output must be sorted distinct")
     }
     // normalization-insensitivity: case/punct/whitespace variants -> same shingles
     val v = Seq(("a", "Hello,   World! Great big test here"), ("b", "hello world great BIG test here"))
       .toDF("id", "t").select(col("id"), graft.functions.ShingleHashes(col("t"), 5).as("sh"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
     assert(v("a") == v("b"))
   }
 
