@@ -111,6 +111,13 @@ object PipelineMain {
         f""","planted_precision":${s.precision}%.4f,"planted_recall":${s.recall}%.4f,"planted_f1":${s.f1}%.4f"""
       } else ""
 
+    // skew-cap accounting (accumulators are final once the actions above ran)
+    res.skew.foreach { case (pass, m) =>
+      if (m.oversizedBuckets.value > 0)
+        println(s"[skew] $pass: ${m.oversizedBuckets.value} oversized buckets, " +
+          s"${m.droppedPairs.value} cross-chunk pairs dropped (hub-chained)")
+    }
+
     val taskSec = taskNanos.get() / 1e9
     println(
       f"""{"turns":$nTurns,"convs":$nConvs,"dup_pairs":$nDupPairs,"components":$nComponents,""" +

@@ -9,9 +9,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val s = SparkSession
-      .builder()
-      .master(s"local[$cores]")
+    val b0 = SparkSession.builder()
+    // respect an externally-provided master (spark-submit on a real cluster
+    // injects spark.master; local[] is the sandbox fallback only)
+    val withMaster =
+      if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER")) b0
+      else b0.master(s"local[$cores]")
+    val s = withMaster
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -105,6 +105,37 @@ object PairClassifier {
     both.select(col("id1"), col("id2"), col("prob"), col("dup"))
   }
 
+  /** Grid-search cross-validation over the RF half of the ensemble
+    * (classifier.py:81-140: GridSearchCV + StratifiedShuffleSplit on F1;
+    * here ml.tuning.CrossValidator on area-under-PR, the threshold-free
+    * analogue). Returns the best model and its grid metrics.
+    */
+  def tuneRF(
+      labeled: DataFrame,
+      numTreesGrid: Seq[Int] = Seq(50, 100),
+      maxDepthGrid: Seq[Int] = Seq(5, 8),
+      folds: Int = 3,
+      seed: Long = 2018L
+  ): (org.apache.spark.ml.tuning.CrossValidatorModel, Array[Double]) = {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val rf = new RandomForestClassifier()
+      .setSeed(seed).setLabelCol("label").setFeaturesCol("features")
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.numTrees, numTreesGrid)
+      .addGrid(rf.maxDepth, maxDepthGrid)
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(rf)
+      .setEvaluator(new BinaryClassificationEvaluator().setMetricName("areaUnderPR"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(folds)
+      .setSeed(seed)
+    val data = assemble(labeled).withColumn("label", col("label").cast("double"))
+    val model = cv.fit(data)
+    (model, model.avgMetrics)
+  }
+
   /** Block-level split on a key column (classifier.py:220-231 splits names). */
   def blockSplit(labeled: DataFrame, blockCol: String, trainFrac: Double, seed: Long): (DataFrame, DataFrame) = {
     val blocks = labeled.select(col(blockCol)).distinct()

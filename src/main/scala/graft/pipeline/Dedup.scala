@@ -91,10 +91,26 @@ object Dedup {
     *     deterministic under any shuffle arrival order.
     * `pairFilter` (e.g. the SimHash Hamming gate) prunes pairs in-stream.
     */
+  /** Skew metrics for one candidate pass — "no silent caps" (SURVEY §4):
+    * oversized buckets and the pair count the chunk cap dropped (beyond the
+    * hub chain that preserves connectivity) are counted via accumulators and
+    * must be logged by the caller.
+    */
+  final case class SkewMetrics(
+      oversizedBuckets: org.apache.spark.util.LongAccumulator,
+      droppedPairs: org.apache.spark.util.LongAccumulator
+  )
+
+  def skewMetrics(spark: SparkSession, pass: String): SkewMetrics = SkewMetrics(
+    spark.sparkContext.longAccumulator(s"graft.$pass.oversized_buckets"),
+    spark.sparkContext.longAccumulator(s"graft.$pass.dropped_pairs")
+  )
+
   private def bucketPairs(
       bucketed: DataFrame, // (bucket long, id string, payload long)
       cap: Int,
-      pairFilter: (Long, Long) => Boolean = (_, _) => true
+      pairFilter: (Long, Long) => Boolean = (_, _) => true,
+      metrics: Option[SkewMetrics] = None
   ): DataFrame = {
     val spark = bucketed.sparkSession
     import spark.implicits._
@@ -106,7 +122,7 @@ object Dedup {
         // before any allocation, or the per-group garbage dominates the stage
         val first = it.next()
         if (!it.hasNext) Iterator.empty
-        else new Dedup.ChunkPairIterator(first, it, cap, pairFilter)
+        else new Dedup.ChunkPairIterator(first, it, cap, pairFilter, metrics)
       }
       .toDF("id1", "id2")
   }
@@ -120,7 +136,8 @@ object Dedup {
       first: (Long, String, Long),
       it: Iterator[(Long, String, Long)],
       cap: Int,
-      pairFilter: (Long, Long) => Boolean
+      pairFilter: (Long, Long) => Boolean,
+      metrics: Option[SkewMetrics]
   ) extends Iterator[(String, String)] {
     private val (ids, pls) = Dedup.buffers(cap)
     private var n = 0
@@ -129,13 +146,22 @@ object Dedup {
     private var pendingFirst = true
     private var prevHub: String = null
     private var hubEdge: (String, String) = null
+    private var seen = 0L // total ids consumed (for dropped-pair accounting)
 
     private def refill(): Unit = {
+      val prevSeen = seen
       if (n > 0) prevHub = ids(0)
       n = 0; i = 0; j = 1
       if (pendingFirst) { ids(0) = first._2; pls(0) = first._3; n = 1; pendingFirst = false }
       while (n < cap && it.hasNext) {
         val t = it.next(); ids(n) = t._2; pls(n) = t._3; n += 1
+      }
+      seen += n
+      if (prevSeen > 0 && n > 0) {
+        // a bucket spilled into another chunk: count it once, and count the
+        // cross-chunk pairs the cap dropped (minus the 1 hub edge kept)
+        if (prevSeen == cap.toLong) metrics.foreach(_.oversizedBuckets.add(1))
+        metrics.foreach(_.droppedPairs.add(prevSeen * n - 1))
       }
       if (n > 0 && prevHub != null) hubEdge = (prevHub, ids(0))
     }
@@ -172,7 +198,7 @@ object Dedup {
   }
 
   /** MinHash LSH banding: band hash -> bucket, then streamed pair emission. */
-  def lshCandidates(sigs: DataFrame, cfg: Config): DataFrame = {
+  def lshCandidates(sigs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame = {
     val r = cfg.rows
     val banded = sigs
       .select(
@@ -185,14 +211,14 @@ object Dedup {
         $"conv_id".as("id"),
         lit(0L).as("payload")
       )
-    bucketPairs(banded, cfg.bucketCap)
+    bucketPairs(banded, cfg.bucketCap, metrics = metrics)
   }
 
   /** SimHash Hamming-ball candidates: 4x16-bit chunk banding guarantees every
     * pair within Hamming distance 3 shares at least one exact chunk
     * (pigeonhole); the in-stream Hamming gate bounds the final distance.
     */
-  def simhashCandidates(sigs: DataFrame, cfg: Config): DataFrame = {
+  def simhashCandidates(sigs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame = {
     val chunks = sigs.select(
       explode(
         array((0 until 4).map(i =>
@@ -203,7 +229,7 @@ object Dedup {
       $"simhash".as("payload")
     )
     val maxD = cfg.simhashMaxHamming
-    bucketPairs(chunks, cfg.bucketCap, (a, b) => java.lang.Long.bitCount(a ^ b) <= maxD)
+    bucketPairs(chunks, cfg.bucketCap, (a, b) => java.lang.Long.bitCount(a ^ b) <= maxD, metrics)
   }
 
   /** Exact-long-substring candidates via content-defined winnowing anchors
@@ -212,14 +238,14 @@ object Dedup {
     * >= window+stride-1 are guaranteed to collide on an anchor hash. Exact
     * verification downstream keeps precision.
     */
-  def substringCandidates(docs: DataFrame, cfg: Config): DataFrame = {
+  def substringCandidates(docs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame = {
     val anchors = docs
       .select(
         explode(T.windowAnchors($"doc", cfg.substringWindow, cfg.substringStride)).as("bucket"),
         $"conv_id".as("id"),
         lit(0L).as("payload")
       )
-    bucketPairs(anchors, cfg.bucketCap)
+    bucketPairs(anchors, cfg.bucketCap, metrics = metrics)
   }
 
   /** Verification of distinct candidate pairs against exact shingle-set
@@ -267,7 +293,8 @@ object Dedup {
       docs: DataFrame, // (conv_id, doc, n_turns)
       sigs: DataFrame, // (conv_id, shingles, sig, simhash)
       pairs: DataFrame, // (id1, id2, jaccard) verified
-      clusters: DataFrame // (conv_id, component)
+      clusters: DataFrame, // (conv_id, component)
+      skew: Map[String, SkewMetrics] = Map.empty // per-pass cap metrics
   )
 
   /** Full pipeline. Reused intermediates are cached (MEMORY_AND_DISK) — the
@@ -279,11 +306,16 @@ object Dedup {
     val docs = assemble(transcripts).cache() // consumed by shingle, substring pass, cluster
     val shingled = shingle(docs, cfg)
     val sigs = signatures(shingled, cfg).cache() // reused by 3 candidate passes + verify
-    var cands = lshCandidates(sigs, cfg)
-    if (cfg.simhashEnabled) cands = cands.union(simhashCandidates(sigs, cfg))
-    if (cfg.substringEnabled) cands = cands.union(substringCandidates(docs, cfg))
+    val skew = Map(
+      "lsh" -> skewMetrics(spark, "lsh"),
+      "simhash" -> skewMetrics(spark, "simhash"),
+      "substring" -> skewMetrics(spark, "substring")
+    )
+    var cands = lshCandidates(sigs, cfg, skew.get("lsh"))
+    if (cfg.simhashEnabled) cands = cands.union(simhashCandidates(sigs, cfg, skew.get("simhash")))
+    if (cfg.substringEnabled) cands = cands.union(substringCandidates(docs, cfg, skew.get("substring")))
     val pairs = verify(cands, sigs, cfg).cache() // consumed by cluster + caller's sink
     val clusters = cluster(spark, docs, pairs)
-    Result(docs, sigs, pairs, clusters)
+    Result(docs, sigs, pairs, clusters, skew)
   }
 }

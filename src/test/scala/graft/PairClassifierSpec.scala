@@ -69,5 +69,12 @@ class PairClassifierSpec extends AnyFunSuite {
     val models2 = PairClassifier.train(train, numTrees = 30, gbtIters = 15)
     val pred2 = PairClassifier.predict(models2, test.drop("label"))
     assert(pred.select("id1", "id2", "dup").exceptAll(pred2.select("id1", "id2", "dup")).isEmpty)
+
+    // M5 parity: grid-search CV picks a model with a high PR-area
+    val (cvModel, metrics) = PairClassifier.tuneRF(
+      train, numTreesGrid = Seq(10), maxDepthGrid = Seq(3, 5), folds = 2)
+    info(s"CV avg areaUnderPR per grid point: ${metrics.mkString(", ")}")
+    assert(metrics.max > 0.9, metrics.mkString(","))
+    assert(cvModel.bestModel.isInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel])
   }
 }
