@@ -27,6 +27,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // pre-sized heap: G1 on a growing heap showed erratic 7-45s GC at 8 threads
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

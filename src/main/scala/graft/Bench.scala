@@ -45,6 +45,29 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Memory-bandwidth probe (MB/s over a 256MB pass): the sandbox VM shares
+    * its memory bus with co-tenants and identical binaries vary 2-4x in wall
+    * time across hours; reporting the probe with every bench run makes
+    * numbers comparable across windows.
+    */
+  private def memBandwidthProbe(): Double = {
+    val n = 32 * 1024 * 1024 // 256MB of longs
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i; i += 1 }
+    val t0 = System.nanoTime()
+    var s = 0L
+    var pass = 0
+    while (pass < 4) {
+      i = 0
+      while (i < n) { s += a(i); i += 1 }
+      pass += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (s == 42) println("") // defeat dead-code elimination
+    4.0 * n * 8 / sec / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -75,6 +98,7 @@ object Bench {
     val (_, t2, cpu2) = byCores(2)
     val efficiency = (t2 / t8) / 4.0
 
+    val bw = memBandwidthProbe()
     val qs = qTimes.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val total = qTimes.values.sum + t8
     println(
@@ -82,7 +106,8 @@ object Bench {
         f""""dedup":{"turns":$nTurns,"wall_sec_8c":$t8%.2f,"turns_per_sec_8c":${nTurns / t8}%.1f},""" +
         f""""scaling":{"cores_n":2,"cores_4n":8,"wall_sec_n":$t2%.2f,"wall_sec_4n":$t8%.2f,""" +
         f""""turns_per_sec_n":${nTurns / t2}%.1f,"turns_per_sec_4n":${nTurns / t8}%.1f,"efficiency":$efficiency%.3f,""" +
-        f""""cpu_sec_n":$cpu2%.1f,"cpu_sec_4n":$cpu8%.1f,"cpu_efficiency":${cpu2 / cpu8}%.3f}}"""
+        f""""cpu_sec_n":$cpu2%.1f,"cpu_sec_4n":$cpu8%.1f,"cpu_efficiency":${cpu2 / cpu8}%.3f},""" +
+        f""""mem_bw_probe_mbps":$bw%.0f}"""
     )
   }
 }
