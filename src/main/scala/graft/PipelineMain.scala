@@ -14,7 +14,10 @@ import graft.synth.Synth
   *
   * Usage:
   *   graft.PipelineMain --out DIR [--input transcripts.parquet]
-  *     [--synth-clusters N] [--cores N] [--threshold T] [--eval]
+  *     [--synth-clusters N] [--cores N] [--threshold T] [--eval true]
+  *     [--warehouse DIR]   checkpointed stages w/ resume (Checkpoint.scala)
+  *     [--refine true]     per-block likelihood-cut refinement
+  *     [--profile true]    per-stage wall/cpu/gc
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
@@ -24,7 +27,8 @@ object PipelineMain {
       .toMap
     val out = opts.getOrElse(
       "out",
-      sys.error("--out DIR is required (also: --input PARQUET | --synth-clusters N, --cores, --threshold, --eval true)")
+      sys.error("--out DIR is required (also: --input PARQUET | --synth-clusters N, " +
+        "--cores N, --threshold T, --eval true, --warehouse DIR, --refine true, --profile true)")
     )
     val cores = opts.get("cores").map(_.toInt).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     val spark = Sessions.local(cores, "graft-pipeline")

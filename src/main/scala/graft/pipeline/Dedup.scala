@@ -59,7 +59,7 @@ object Dedup {
         count(lit(1)).as("n_turns")
       )
 
-  /** (conv_id, doc, n_turns, shingles array<long> sorted distinct) */
+  /** (conv_id, doc, n_turns, shingles array<int> sorted distinct) */
   def shingle(docs: DataFrame, cfg: Config): DataFrame =
     docs.select(
       $"conv_id",
