@@ -50,22 +50,28 @@ object Bench {
     * time across hours; reporting the probe with every bench run makes
     * numbers comparable across windows.
     */
-  private def memBandwidthProbe(): Double = {
-    val n = 32 * 1024 * 1024 // 256MB of longs
-    val a = new Array[Long](n)
-    var i = 0
-    while (i < n) { a(i) = i; i += 1 }
+  private def memBandwidthProbe(threads: Int = 4): Double = {
+    val n = 16 * 1024 * 1024 // 128MB of longs per thread
+    val sums = new java.util.concurrent.atomic.AtomicLong
+    val arrays = Array.fill(threads)(Array.tabulate(n)(_.toLong))
     val t0 = System.nanoTime()
-    var s = 0L
-    var pass = 0
-    while (pass < 4) {
-      i = 0
-      while (i < n) { s += a(i); i += 1 }
-      pass += 1
+    val ts = arrays.map { a =>
+      val t = new Thread(() => {
+        var s = 0L
+        var pass = 0
+        while (pass < 4) {
+          var i = 0
+          while (i < n) { s += a(i); i += 1 }
+          pass += 1
+        }
+        sums.addAndGet(s)
+      })
+      t.start(); t
     }
+    ts.foreach(_.join())
     val sec = (System.nanoTime() - t0) / 1e9
-    if (s == 42) println("") // defeat dead-code elimination
-    4.0 * n * 8 / sec / 1e6
+    if (sums.get() == 42) println("") // defeat dead-code elimination
+    threads * 4.0 * n * 8 / sec / 1e6 // aggregate MB/s: detects co-tenant bus contention
   }
 
   def main(args: Array[String]): Unit = {
@@ -74,9 +80,13 @@ object Bench {
     val scfg = Synth.Config(nClusters = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "100000").toInt)
 
     // 1. headline operator queries at full parallelism
-    val spark = Sessions.local(cpus, "graft-bench-queries")
-    val qTimes = timeQueries(spark, sfDir)
-    spark.stop()
+    val qTimes =
+      if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("true")) Map.empty[String, Double]
+      else {
+        val spark = Sessions.local(cpus, "graft-bench-queries")
+        try timeQueries(spark, sfDir)
+        finally spark.stop()
+      }
 
     // 2+3. dedup pipeline throughput + scaling (alternating reps, min wall —
     // min is robust to hypervisor steal noise on this VM)
@@ -87,7 +97,7 @@ object Bench {
       finally s.stop()
       dir
     }
-    val reps = 3
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val runs = (1 to reps).flatMap { _ =>
       Seq(8 -> pipelineWall(8, inputDir), 2 -> pipelineWall(2, inputDir))
     }

@@ -35,15 +35,12 @@ object ConnectedComponents {
     def sig(d: DataFrame): (Long, Option[Long]) =
       d.agg(count(lit(1)), bit_xor(xxhash64($"hi", $"lo"))).as[(Long, Option[Long])].first()
 
-    var cur = canon(edges).localCheckpoint(true)
-    var curSig = sig(cur)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
+    // one large-star + small-star phase, declared lazily (no materialization)
+    def starRound(in: DataFrame): DataFrame = {
       // --- large-star: for each node u, link every strictly-larger neighbor
       // to the minimum of u's closed neighborhood.
-      val sym = cur.select($"hi".as("u"), $"lo".as("v"))
-        .union(cur.select($"lo".as("u"), $"hi".as("v")))
+      val sym = in.select($"hi".as("u"), $"lo".as("v"))
+        .union(in.select($"lo".as("u"), $"hi".as("v")))
       val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
       val ls = sym
         .join(mins, "u")
@@ -58,7 +55,18 @@ object ConnectedComponents {
         .join(mins2, "hi")
         .select($"lo".as("src"), $"mn".as("dst"))
         .union(mins2.select($"hi".as("src"), $"mn".as("dst")))
-      val next = canon(ss).localCheckpoint(true)
+      canon(ss)
+    }
+
+    var cur = canon(edges).localCheckpoint(true)
+    var curSig = sig(cur)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // two star phases per materialization: halves the checkpoint/agg job
+      // rounds (the driver-side latency floor of the loop) without changing
+      // the fixpoint
+      val next = starRound(starRound(cur)).localCheckpoint(true)
 
       // convergence: edge set unchanged (count + order-independent XOR
       // checksum); previous iteration's signature is reused, one agg job per
