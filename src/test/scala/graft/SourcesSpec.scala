@@ -47,5 +47,16 @@ class SourcesSpec extends AnyFunSuite {
     b.write.parquet(s"$dir/shards/b")
     val union = spark.read.parquet(s"$dir/shards/a", s"$dir/shards/b")
     assert(checksum(union) == base, "multi-path scan must union shards")
+
+    // filename -> label inference (reference: block name from basename,
+    // label.py:17 / dual_marry.py:9): input_file_name + regex
+    val labeled = union.withColumn(
+      "shard",
+      regexp_extract(input_file_name(), "/shards/([ab])/", 1)
+    )
+    val byShard = labeled.groupBy(col("shard")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet == Set("a", "b"))
+    assert(byShard("a") == a.count() && byShard("b") == b.count())
   }
 }
