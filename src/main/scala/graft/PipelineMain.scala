@@ -75,8 +75,7 @@ object PipelineMain {
         graft.pipeline.CheckpointedDedup.run(spark, transcripts, inputFp, opts("warehouse"), cfg)
       } else if (!profile) Dedup.run(spark, transcripts, cfg)
       else {
-        val docs = Dedup.assemble(transcripts).cache()
-        timed("assemble")(docs.count())
+        val docs = Dedup.assemble(transcripts)
         val shingled = Dedup.shingle(docs, cfg)
         val sigs = Dedup.signatures(shingled, cfg).cache()
         timed("signatures")(sigs.count())
@@ -84,11 +83,11 @@ object PipelineMain {
         timed("lsh_cand")(lsh.count())
         val sim = Dedup.simhashCandidates(sigs, cfg).cache()
         timed("simhash_cand")(sim.count())
-        val sub = Dedup.substringCandidates(docs, cfg).cache()
+        val sub = Dedup.substringCandidates(sigs, cfg).cache()
         timed("substr_cand")(sub.count())
         val pairs = Dedup.verify(lsh.union(sim).union(sub), sigs, cfg).cache()
         timed("verify")(pairs.count())
-        val clusters = timed("cc")(Dedup.cluster(spark, docs, pairs).cache())
+        val clusters = timed("cc")(Dedup.cluster(spark, sigs, pairs).cache())
         timed("cc_count")(clusters.count())
         Dedup.Result(docs, sigs, pairs, clusters)
       }

@@ -141,17 +141,17 @@ object CheckpointedDedup {
     val sigs = r.stage("sigs", s"signatures|$cfgStr", Seq("docs"))(
       Dedup.signatures(Dedup.shingle(docs, cfg), cfg)
     )
-    val cands = r.stage("candidates", s"candidates|$cfgStr", Seq("sigs", "docs")) {
+    val cands = r.stage("candidates", s"candidates|$cfgStr", Seq("sigs")) {
       var c = Dedup.lshCandidates(sigs, cfg)
       if (cfg.simhashEnabled) c = c.union(Dedup.simhashCandidates(sigs, cfg))
-      if (cfg.substringEnabled) c = c.union(Dedup.substringCandidates(docs, cfg))
+      if (cfg.substringEnabled) c = c.union(Dedup.substringCandidates(sigs, cfg))
       c
     }
     val pairs = r.stage("pairs", s"verify|$cfgStr", Seq("candidates", "sigs"))(
       Dedup.verify(cands, sigs, cfg)
     )
-    val clusters = r.stage("clusters", s"cluster|$cfgStr", Seq("pairs", "docs"))(
-      Dedup.cluster(spark, docs, pairs)
+    val clusters = r.stage("clusters", s"cluster|$cfgStr", Seq("pairs", "sigs"))(
+      Dedup.cluster(spark, sigs, pairs)
     )
     Dedup.Result(docs, sigs, pairs, clusters)
   }

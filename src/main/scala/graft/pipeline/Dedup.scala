@@ -68,13 +68,20 @@ object Dedup {
       graft.functions.ShingleHashes($"doc", cfg.shingleK).as("shingles")
     )
 
-  /** + (sig array<int>, simhash long) */
+  /** + (sig array<int>, simhash long, anchors array<long>) — winnowing
+    * anchors are computed here, in the same map-side pass over the assembled
+    * text, so the substring candidate pass never re-reads (or caches) the
+    * full documents: downstream stages carry only hashes.
+    */
   def signatures(shingled: DataFrame, cfg: Config): DataFrame =
     shingled.select(
       $"conv_id",
       $"shingles",
       MinHashSignature($"shingles", cfg.numPerms, cfg.seed).as("sig"),
-      SimHash64($"shingles").as("simhash")
+      SimHash64($"shingles").as("simhash"),
+      (if (cfg.substringEnabled)
+         T.windowAnchors($"doc", cfg.substringWindow, cfg.substringStride)
+       else array().cast("array<bigint>")).as("anchors")
     )
 
   /** Shared candidate-pair generator over (bucket, id[, payload]) rows — ONE
@@ -238,10 +245,10 @@ object Dedup {
     * >= window+stride-1 are guaranteed to collide on an anchor hash. Exact
     * verification downstream keeps precision.
     */
-  def substringCandidates(docs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame = {
-    val anchors = docs
+  def substringCandidates(sigs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame = {
+    val anchors = sigs
       .select(
-        explode(T.windowAnchors($"doc", cfg.substringWindow, cfg.substringStride)).as("bucket"),
+        explode($"anchors").as("bucket"),
         $"conv_id".as("id"),
         lit(0L).as("payload")
       )
@@ -303,9 +310,9 @@ object Dedup {
     * re-executes the assemble/shingle/verify chain.
     */
   def run(spark: SparkSession, transcripts: DataFrame, cfg: Config = Config()): Result = {
-    val docs = assemble(transcripts).cache() // consumed by shingle, substring pass, cluster
+    val docs = assemble(transcripts) // single consumer (shingle) — not cached
     val shingled = shingle(docs, cfg)
-    val sigs = signatures(shingled, cfg).cache() // reused by 3 candidate passes + verify
+    val sigs = signatures(shingled, cfg).cache() // reused by 3 candidate passes + verify + cluster
     val skew = Map(
       "lsh" -> skewMetrics(spark, "lsh"),
       "simhash" -> skewMetrics(spark, "simhash"),
@@ -313,9 +320,9 @@ object Dedup {
     )
     var cands = lshCandidates(sigs, cfg, skew.get("lsh"))
     if (cfg.simhashEnabled) cands = cands.union(simhashCandidates(sigs, cfg, skew.get("simhash")))
-    if (cfg.substringEnabled) cands = cands.union(substringCandidates(docs, cfg, skew.get("substring")))
+    if (cfg.substringEnabled) cands = cands.union(substringCandidates(sigs, cfg, skew.get("substring")))
     val pairs = verify(cands, sigs, cfg).cache() // consumed by cluster + caller's sink
-    val clusters = cluster(spark, docs, pairs)
+    val clusters = cluster(spark, sigs, pairs)
     Result(docs, sigs, pairs, clusters, skew)
   }
 }
