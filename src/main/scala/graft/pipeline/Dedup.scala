@@ -84,20 +84,6 @@ object Dedup {
        else array().cast("array<bigint>")).as("anchors")
     )
 
-  /** Shared candidate-pair generator over (bucket, id[, payload]) rows — ONE
-    * shuffle (hash partition by bucket), then a streaming, bounded-memory
-    * pair emission per bucket via `flatMapSortedGroups`:
-    *   - buckets of n <= cap emit all C(n,2) pairs (J1 analogue: the
-    *     reference's block-local pair enumeration, id_pairs.py:21-23);
-    *   - oversized (skewed) buckets are chunked to `cap` ids; pairs are
-    *     exhaustive within a chunk and chunks are chained through their first
-    *     ids, preserving bucket connectivity (cluster recall) while bounding
-    *     the explosion to O(n*cap) instead of O(n^2). The reference is
-    *     skew-blind (one process per block, SURVEY §4); this is the explicit
-    *     skew handling the north_rule requires. Sorted groups keep the output
-    *     deterministic under any shuffle arrival order.
-    * `pairFilter` (e.g. the SimHash Hamming gate) prunes pairs in-stream.
-    */
   /** Skew metrics for one candidate pass — "no silent caps" (SURVEY §4):
     * oversized buckets and the pair count the chunk cap dropped (beyond the
     * hub chain that preserves connectivity) are counted via accumulators and
@@ -113,6 +99,20 @@ object Dedup {
     spark.sparkContext.longAccumulator(s"graft.$pass.dropped_pairs")
   )
 
+  /** Shared candidate-pair generator over (bucket, id, payload) rows — ONE
+    * shuffle (hash partition by bucket), then streaming bounded-memory pair
+    * emission per bucket via `flatMapSortedGroups`:
+    *   - buckets of n <= cap emit all C(n,2) pairs (J1 analogue: the
+    *     reference's block-local pair enumeration, id_pairs.py:21-23);
+    *   - oversized (skewed) buckets are chunked to `cap` ids; pairs are
+    *     exhaustive within a chunk and chunks are chained through their first
+    *     ids, preserving bucket connectivity (cluster recall) while bounding
+    *     the explosion to O(n*cap) instead of O(n^2). The reference is
+    *     skew-blind (one process per block, SURVEY §4); this is the explicit
+    *     skew handling the north_rule requires. Sorted groups keep the output
+    *     deterministic under any shuffle arrival order.
+    * `pairFilter` (e.g. the SimHash Hamming gate) prunes pairs in-stream.
+    */
   private def bucketPairs(
       bucketed: DataFrame, // (bucket long, id string, payload long)
       cap: Int,
