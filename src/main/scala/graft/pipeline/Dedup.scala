@@ -47,6 +47,7 @@ object Dedup {
     */
   def assemble(transcripts: DataFrame): DataFrame =
     transcripts
+      .where($"conv_id".isNotNull) // a rowless key cannot cluster; drop, don't NPE
       .groupBy($"conv_id")
       .agg(
         concat_ws(

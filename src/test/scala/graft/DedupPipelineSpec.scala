@@ -75,6 +75,21 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(s.precision >= 0.95 && s.recall >= 0.93, s"refined P=${s.precision} R=${s.recall}")
   }
 
+  test("messy input rows (null conv_id/text/tool, duplicate turn_idx) don't break the pipeline") {
+    import spark.implicits._
+    val messy = Seq(
+      (null.asInstanceOf[String], 0, "user", "orphan text", null.asInstanceOf[String]),
+      ("m1", 0, "user", null.asInstanceOf[String], null.asInstanceOf[String]), // null text
+      ("m1", 1, "assistant", "hello there world again", "search"),
+      ("m1", 1, "assistant", "duplicate index row", null.asInstanceOf[String]), // dup turn_idx
+      ("m2", 0, "user", "", null.asInstanceOf[String]) // empty text only
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool")
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val res = Dedup.run(spark, messy, cfg)
+    val out = res.clusters.collect().map(r => r.getString(0)).toSet
+    assert(out == Set("m1", "m2"), s"null conv_id dropped, all others clustered: $out")
+  }
+
   test("shuffle_ws variants are byte-identical after normalization (exact dups)") {
     val ws = truth.where(col("variant") === "shuffle_ws")
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n")).where(col("n") > 1)
