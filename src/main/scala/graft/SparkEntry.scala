@@ -517,7 +517,7 @@ object SparkEntry {
     "q22_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "q23_event_sessions" ->
-      """SELECT user_id, SUM(brk) AS n_sessions, COUNT(*) AS n_events FROM (
+      """SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_ts IS NULL
         |         OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) >= 1800
@@ -551,7 +551,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "d04_source_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(len(string_split(text, ' '))) AS total_tokens
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY source""".stripMargin,
     "d05_langid" ->
       """SELECT doc_id,

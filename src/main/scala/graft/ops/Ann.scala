@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.MinHashImpl
+import graft.pipeline.Dedup
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`): brute-force cosine top-k as the exact baseline, and a
@@ -73,6 +74,16 @@ object Ann {
     * — standard recall amplification), then exact cosine + top-k over the
     * candidate set only. Approximate: recall measured against
     * bruteForceTopK in the spec.
+    *
+    * Skew discipline: a hot bucket (e.g. millions of padded or near-zero
+    * vectors landing in one sign pattern) would make the candidate join
+    * O(|bucket|) PER QUERY probing it. `bucketCap` bounds the inverted-list
+    * length: oversized (table, bucket) lists keep a deterministic
+    * hash-sampled ~cap members (the probe-list bound every production ANN
+    * index applies — FAISS caps scanned codes per probe the same way). The
+    * cap trades bounded recall on degenerate buckets for a hard upper bound
+    * on join width; counts are exposed via the `capStats` companion so the
+    * caller can log what was truncated (no silent loss).
     */
   def lshTopK(
       queries: DataFrame,
@@ -81,7 +92,8 @@ object Ann {
       k: Int,
       nBits: Int = 12,
       nTables: Int = 8,
-      seed: Long = 42L
+      seed: Long = 42L,
+      bucketCap: Int = 1024
   ): DataFrame = {
     def bucketed(df: DataFrame, idCol: String): DataFrame =
       df.select(
@@ -93,7 +105,8 @@ object Ann {
       ).select(col(idCol), col("vec"), col("tb.table"), col("tb.bucket"))
 
     val qb = bucketed(queries, "query_id").withColumnRenamed("vec", "qv")
-    val cb = bucketed(corpus, "neighbor_id").withColumnRenamed("vec", "nv")
+    val cb = cappedLists(bucketed(corpus, "neighbor_id"), "neighbor_id", bucketCap)
+      .withColumnRenamed("vec", "nv")
     val cands = qb
       .join(cb, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -105,6 +118,41 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Bound every (table, bucket) inverted list to ~cap members: lists over
+    * the cap keep rows whose per-bucket hash rank falls under it — a
+    * deterministic Bernoulli(cap/bsz) thinning, no sort, no per-key window
+    * (a window over the hot key would serialize it onto one task, the exact
+    * straggler this avoids). The count aggregate map-side-combines, so the
+    * hot key never concentrates rows anywhere.
+    */
+  private def cappedLists(bucketed: DataFrame, idCol: String, cap: Int): DataFrame =
+    bucketed
+      .join(
+        bucketed.groupBy(col("table"), col("bucket")).agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") > cap),
+        Seq("table", "bucket"),
+        "left_outer"
+      )
+      .where(col("bsz").isNull ||
+        pmod(xxhash64(col(idCol), col("table"), col("bucket")), col("bsz")) < cap)
+      .drop("bsz")
+
+  /** Truncation visibility for lshTopK's probe cap: (oversized list count,
+    * total members dropped in expectation). Runs the same count aggregate the
+    * cap uses — call it when logging an index build, not per query.
+    */
+  def capStats(corpus: DataFrame, dim: Int, nBits: Int, nTables: Int, seed: Long, bucketCap: Int): (Long, Long) = {
+    val b = corpus.select(
+      col("id"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("table"), signBucket(col("vec"), dim, nBits, seed + t * 1000003L).as("bucket"))
+      ): _*)).as("tb")
+    ).groupBy(col("tb.table"), col("tb.bucket")).agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > bucketCap)
+      .agg(count(lit(1)), sum(col("bsz") - bucketCap)).collect()(0)
+    (b.getLong(0), if (b.isNullAt(1)) 0L else b.getLong(1))
   }
 
   /** IVF-style ANN: a KMeans coarse quantizer (seeded, deterministic)
@@ -155,9 +203,14 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs over one corpus: sign-LSH buckets
-    * feed the same chunked pair generator idea as text dedup; exact cosine
-    * gate at `threshold`. Output: (id1, id2, cos).
+  /** Embedding-cosine near-duplicate pairs over one corpus, through the SAME
+    * capped chunked pair generator as text dedup (Dedup.bucketPairs): sign-LSH
+    * buckets are pair-enumerated with a per-bucket cap (oversized buckets
+    * chunk with hub chaining — O(n*cap) pairs, never O(n^2), with
+    * accumulator-logged drops), a packed 64-bit sign signature rides along as
+    * the payload so an in-stream Hamming gate prunes far pairs before any
+    * vector is touched, and survivors pick their vectors back up by key for
+    * the exact cosine test. Output: (id1, id2, cos).
     */
   def nearDupPairs(
       corpus: DataFrame,
@@ -165,20 +218,36 @@ object Ann {
       threshold: Double,
       nBits: Int = 14,
       nTables: Int = 6,
-      seed: Long = 42L
+      seed: Long = 42L,
+      bucketCap: Int = 256,
+      metrics: Option[Dedup.SkewMetrics] = None
   ): DataFrame = {
-    val b = corpus.select(
-      col("id"),
-      col("vec"),
+    val gateBits = 64
+    // sign-LSH theory: P[bit differs] = angle/pi; gate at E + 4 sigma keeps
+    // essentially all pairs at `threshold` while pruning clearly-far ones
+    val f = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val maxHam = math.min(
+      gateBits,
+      math.ceil(gateBits * f + 4 * math.sqrt(gateBits * f * (1 - f))).toInt
+    )
+    val bucketed = corpus.select(
       explode(array((0 until nTables).map(t =>
         xxhash64(lit(t), signBucket(col("vec"), dim, nBits, seed + t * 1000003L))
-      ): _*)).as("bucket")
+      ): _*)).as("bucket"),
+      col("id"),
+      signBucket(col("vec"), dim, gateBits, MinHashImpl.mix64(seed) | 1L).as("payload")
     )
-    val a1 = b.select(col("bucket"), col("id").as("id1"), col("vec").as("v1"))
-    val a2 = b.select(col("bucket"), col("id").as("id2"), col("vec").as("v2"))
-    a1.join(a2, Seq("bucket"))
-      .where(col("id1") < col("id2"))
+    val cand = Dedup.bucketPairs(
+      bucketed,
+      bucketCap,
+      (a, b) => java.lang.Long.bitCount(a ^ b) <= maxHam,
+      metrics
+    )
+    val v = corpus.select(col("id"), col("vec"))
+    cand
       .dropDuplicates("id1", "id2")
+      .join(v.select(col("id").as("id1"), col("vec").as("v1")), "id1")
+      .join(v.select(col("id").as("id2"), col("vec").as("v2")), "id2")
       .withColumn("cos", cosine(col("v1"), col("v2")))
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))

@@ -113,8 +113,13 @@ object Dedup {
     *     skew handling the north_rule requires. Sorted groups keep the output
     *     deterministic under any shuffle arrival order.
     * `pairFilter` (e.g. the SimHash Hamming gate) prunes pairs in-stream.
+    *
+    * Shared beyond text: the embedding near-dup path (ops/Ann.nearDupPairs)
+    * routes its sign-LSH buckets through here with a packed-sign-bit payload,
+    * so one dense Hamming bucket can never go quadratic — hence the
+    * package-private visibility.
     */
-  private def bucketPairs(
+  private[graft] def bucketPairs(
       bucketed: DataFrame, // (bucket long, id string, payload long)
       cap: Int,
       pairFilter: (Long, Long) => Boolean = (_, _) => true,
