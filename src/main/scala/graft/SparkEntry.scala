@@ -421,7 +421,28 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** Queries whose semantics DuckDB cannot re-express in ANSI SQL (custom
+    * hash expressions, LSH candidate generation, the full pipeline,
+    * Java-regex segmentation). Each is deterministic at any parallelism, so
+    * its oracle is a committed golden-parquet snapshot under `golden/`
+    * (generated by graft.tools.MakeGolden at sf0.01, the driver's gate
+    * scale) that DuckDB reads via read_parquet() — a hard value-level check,
+    * with operator correctness established independently in the sbt specs
+    * (recall vs brute force, reimplementation cross-checks).
+    */
+  val goldenQueries: Seq[String] = Seq(
+    "a02_ann_lsh",
+    "a03_embedding_neardup",
+    "d06_fingerprints",
+    "m01_multimodal_frames",
+    "p01_dedup_clusters",
+    "t02_subword"
+  )
+
+  private def goldenSql(name: String): String =
+    s"SELECT * FROM read_parquet('/root/repo/golden/$name/*.parquet')"
+
+  def oracleSql: Map[String, String] = goldenQueries.map(n => n -> goldenSql(n)).toMap ++ Map(
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45""".stripMargin,

@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+
+/** Regenerates the committed golden-parquet oracles under `golden/` for the
+  * driver queries whose semantics are not ANSI-SQL-expressible (custom hash
+  * expressions, LSH candidate generation, the full dedup pipeline, Java-regex
+  * segmentation). Each of these queries is deterministic at ANY parallelism —
+  * seeded synthesis, pure per-row hash functions, sorted-group pair emission —
+  * so a pinned parquet snapshot is a hard value-level oracle: the driver's
+  * DuckDB compare reads it via read_parquet() and hashes it against the live
+  * Spark output. sbt specs (OpsSpec/FunctionsSpec/DedupPipelineSpec) establish
+  * the *correctness* of these operators against independent brute-force /
+  * reimplementation checks; the goldens pin the exact values against
+  * regression.
+  *
+  * Run after any INTENTIONAL semantic change to one of these queries:
+  *   sbt -batch "runMain graft.tools.MakeGolden /root/testdata/sf0.01 golden"
+  * then commit the refreshed files. The goldens are generated at sf0.01 —
+  * the scale the driver's correctness gate runs at.
+  */
+object MakeGolden {
+  def goldenNames: Seq[String] = SparkEntry.goldenQueries
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "golden"
+    val spark = Sessions.fromEnv("graft-golden")
+    goldenNames.foreach { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+      println(f"[golden] $n rewritten (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }
+    spark.stop()
+  }
+}
