@@ -20,6 +20,16 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** taxonomy for q25 over the synthetic documents vocabulary (literal
+    * keyword lists, the define_fields_by_venue.R shape)
+    */
+  private val docTaxonomy: Seq[(String, Seq[String])] = Seq(
+    "joins" -> Seq("join", "merge", "hash"),
+    "scans" -> Seq("scan", "filter"),
+    "aggregation" -> Seq("agg", "group", "window"),
+    "streaming" -> Seq("stream", "batch")
+  )
+
   /** exact sum of a double column via decimal, emitted as double */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
@@ -411,6 +421,26 @@ object SparkEntry {
       graft.ops.Ann.nearDupPairs(emb, dim = 64, threshold = 0.30, nBits = 6, nTables = 8)
     }),
 
+    // ---- keyword-set membership classification (P13,
+    // define_fields_by_venue.R:13-48): multi-valued tags from literal
+    // keyword lists, exploded to long form
+    "q25_keyword_classify" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(
+          $"doc_id",
+          explode(graft.ops.TextAnalysis.classifyByKeywords(split($"text", " "), docTaxonomy))
+            .as("tag")
+        )
+    }),
+
+    // ---- IVF ANN over embeddings (the billion-scale inverted-list layout;
+    // deterministic quantizer -> golden oracle)
+    "a04_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select($"vec_id".cast("string").as("id"), $"embedding".as("vec"))
+      val queries = emb.where($"id".cast("long") % 50 === 0)
+      graft.ops.Ann.ivfTopK(queries, emb, k = 3, nCells = 16, nProbe = 4)
+    }),
+
     // ---- multimodal plumbing: synth binary assets -> decode stub -> frame
     // sampling -> per-modality frame counts (rows-only; no external media)
     "m01_multimodal_frames" -> ((s, _) => {
@@ -433,6 +463,7 @@ object SparkEntry {
   val goldenQueries: Seq[String] = Seq(
     "a02_ann_lsh",
     "a03_embedding_neardup",
+    "a04_ann_ivf",
     "d06_fingerprints",
     "m01_multimodal_frames",
     "p01_dedup_clusters",
@@ -551,6 +582,15 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q25_keyword_classify" ->
+      """SELECT doc_id, tag FROM (
+        |  SELECT doc_id, unnest([
+        |    CASE WHEN list_has_any(toks, ['join', 'merge', 'hash']) THEN 'joins' END,
+        |    CASE WHEN list_has_any(toks, ['scan', 'filter']) THEN 'scans' END,
+        |    CASE WHEN list_has_any(toks, ['agg', 'group', 'window']) THEN 'aggregation' END,
+        |    CASE WHEN list_has_any(toks, ['stream', 'batch']) THEN 'streaming' END]) AS tag
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |WHERE tag IS NOT NULL""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

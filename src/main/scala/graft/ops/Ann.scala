@@ -155,11 +155,20 @@ object Ann {
     (b.getLong(0), if (b.isNullAt(1)) 0L else b.getLong(1))
   }
 
-  /** IVF-style ANN: a KMeans coarse quantizer (seeded, deterministic)
-    * partitions the corpus into nCells inverted lists; each query probes its
-    * nProbe nearest centroids and brute-forces only those lists — the
-    * standard billion-scale layout (IVF-Flat), expressed as two broadcast
-    * joins + a windowed top-k. Returns (query_id, neighbor_id, cos, rank).
+  /** IVF-style ANN (IVF-Flat, the standard billion-scale layout): a coarse
+    * quantizer partitions the corpus into nCells inverted lists; each query
+    * probes its nProbe nearest centroids and brute-forces only those lists.
+    *
+    * The quantizer is a purpose-built deterministic Lloyd's k-means, NOT
+    * ml.KMeans: vectors are quantized to integer millis so every centroid is
+    * a ratio of order-independent long sums — the trained index and therefore
+    * the query results are bit-identical at ANY partitioning/parallelism
+    * (ml.KMeans' k-means|| init and double summation are partition-order
+    * sensitive). Training runs on a deterministic hash sample (`sampleCap`),
+    * the standard IVF practice; assignment and probing are pure map-side
+    * literal-centroid expressions (no join, no window), so the only shuffles
+    * in the query path are the probe join and the final top-k.
+    * Returns (query_id, neighbor_id, cos, rank).
     */
   def ivfTopK(
       queries: DataFrame,
@@ -167,30 +176,78 @@ object Ann {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 3,
-      seed: Long = 42L
+      seed: Long = 42L,
+      iters: Int = 5,
+      sampleCap: Int = 100000,
+      listCap: Int = 100000
   ): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val spark = corpus.sparkSession
+    val quant = transform(col("vec"), x => round(x.cast("double") * 1000).cast("long"))
 
-    val toVec = corpus.select(col("id"), col("vec"),
-      array_to_vector(transform(col("vec"), x => x.cast("double"))).as("features"))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
-      .fit(toVec)
-    val lists = km.transform(toVec).select(col("id").as("neighbor_id"), col("vec").as("nv"), col("cell"))
+    // deterministic training sample of ~sampleCap rows
+    val n = corpus.count()
+    val keepPerM = if (n <= sampleCap) 1000000L else math.max(1L, sampleCap * 1000000L / n)
+    val sample = corpus
+      .where(pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) < keepPerM)
+      .select(col("id"), quant.as("qv"))
+      .cache()
 
-    // centroid table, broadcast to score query->cell distances
-    val cents = km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-    import spark.implicits._
-    val centDf = cents.toDF("cell", "centroid")
-    val qCells = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
-      .crossJoin(broadcast(centDf))
-      .withColumn("dist", aggregate(
-        zip_with(col("qv"), col("centroid"), (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (s, x) => s + x))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
-    val probes = qCells.withColumn("pr", row_number().over(wProbe)).where(col("pr") <= nProbe)
+    // init: the nCells sample vectors with smallest hash rank
+    var centroids: Array[Array[Double]] = sample
+      .orderBy(xxhash64(col("id"), lit(seed + 1)), col("id"))
+      .limit(nCells)
+      .select(col("qv"))
+      .collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toArray)
+
+    def distArray(vecCol: Column): Column = array(centroids.map { c =>
+      aggregate(
+        zip_with(vecCol, array(c.map(lit): _*), (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+        lit(0.0),
+        (s, x) => s + x
+      )
+    }: _*)
+
+    // argmin by value: ties resolve to the FIRST (lowest) cell — value-based,
+    // so deterministic at any partitioning
+    def assignExpr(vecCol: Column): Column = {
+      val d = distArray(vecCol)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+
+    // Lloyd iterations: per-dim LONG sums (order-independent) -> new centroids
+    var it = 0
+    while (it < iters) {
+      val sums = sample
+        .select(assignExpr(col("qv")).as("cell"), posexplode(col("qv")).as(Seq("d", "v")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("d")) =
+          r.getAs[Long]("s").toDouble / r.getAs[Long]("c")
+      }
+      centroids = next // empty cells keep their previous centroid
+      it += 1
+    }
+    sample.unpersist()
+
+    // inverted lists (map-side assignment; hot cells bounded like lshTopK)
+    val lists = cappedLists(
+      corpus.select(col("id").as("neighbor_id"), col("vec"), lit(0).as("table"),
+        assignExpr(quant).as("bucket")),
+      "neighbor_id",
+      listCap
+    ).select(col("neighbor_id"), col("vec").as("nv"), col("bucket").as("cell"))
+
+    // probes: nProbe nearest centroids per query, map-side — keep cells whose
+    // distance is within the nProbe-th smallest (value-based: ties may probe
+    // one extra list, deterministically)
+    val probes = queries
+      .select(col("id").as("query_id"), col("vec").as("qv"), distArray(quant).as("ds"),
+        element_at(array_sort(distArray(quant)), nProbe).as("kth"))
+      .select(col("query_id"), col("qv"), col("kth"), posexplode(col("ds")).as(Seq("cell", "dist")))
+      .where(col("dist") <= col("kth"))
       .select(col("query_id"), col("qv"), col("cell"))
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))

@@ -84,4 +84,22 @@ object TextAnalysis {
     * whitespace/punctuation-insensitive exact-dup key).
     */
   def fingerprint(text: Column): Column = xxhash64(T.normalize(text))
+
+  /** Keyword-set membership classification (define_fields_by_venue.R:13-48,
+    * venue_discipline_bag:14-31): literal keyword lists per tag; a row gets
+    * EVERY tag whose list overlaps its token set (multi-valued — the
+    * reference's `filedlist[pass]`), and no tags when nothing matches.
+    * Returns array<string> in taxonomy order (deterministic); callers
+    * `explode` for one row per (id, tag) — the reference's long-form
+    * fields.csv. Pure `arrays_overlap` against literals: map-side,
+    * codegen'd, no join, no UDF — a 100 TB corpus tags in one scan.
+    */
+  def classifyByKeywords(tokens: Column, taxonomy: Seq[(String, Seq[String])]): Column =
+    filter(
+      array(taxonomy.map { case (tag, words) =>
+        when(arrays_overlap(tokens, array(words.map(lit): _*)), lit(tag))
+          .otherwise(lit(null).cast("string"))
+      }: _*),
+      t => t.isNotNull
+    )
 }

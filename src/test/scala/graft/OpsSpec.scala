@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Ann, Multimodal, TextAnalysis}
+import graft.ops.{Ann, DocEmbed, Multimodal, TextAnalysis}
 
 /** Specs for the training-pipeline extras: text analysis, ANN, multimodal. */
 class OpsSpec extends AnyFunSuite {
@@ -171,5 +171,79 @@ class OpsSpec extends AnyFunSuite {
     val bad = h.where(aggregate(col("hist"), lit(0), (a, x) => a + x) =!= col("body")).count()
     assert(bad == 0)
     assert(h.where(size(col("hist")) =!= 16).count() == 0)
+  }
+
+  test("classifyByKeywords: multi-valued tags, taxonomy order, no row when no match") {
+    val tax = Seq(
+      "animals" -> Seq("cat", "dog"),
+      "colors" -> Seq("red", "blue"),
+      "tools" -> Seq("hammer")
+    )
+    val df = Seq(
+      ("both", "the red cat sat"),
+      ("one", "a dog barked"),
+      ("none", "nothing matches here")
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.classifyByKeywords(split(col("text"), " "), tax).as("tags"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(m("both") == Seq("animals", "colors"), m.toString)
+    assert(m("one") == Seq("animals"))
+    assert(m("none") == Seq.empty)
+    // exploded long form drops no-match rows (reference emits nothing for them)
+    assert(df.select(col("id"), explode(col("tags"))).where(col("id") === "none").count() == 0)
+  }
+
+  test("IVF results are identical under different input partitioning") {
+    val members = mkVecs(120, 16, 31L)
+    val corpus = members.toDF("id", "vec")
+    val queries = members.take(10).toDF("id", "vec")
+    def runAt(parts: Int): Set[(String, String, Int)] =
+      Ann.ivfTopK(queries.repartition(parts), corpus.repartition(parts), k = 3, nCells = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(runAt(1) == runAt(7), "quantizer/index must be partition-order independent")
+  }
+
+  // ---------- DocEmbed (M8 analogue) ----------
+
+  test("Word2Vec doc embeddings: trained vectors rank shared-content docs first") {
+    // docs = word sequences; planted pairs share most of their tokens
+    val vocab = (0 until 40).map(i => s"w$i")
+    def toks(seed: Long, n: Int): Seq[String] =
+      (0 until n).map(j => vocab(
+        java.lang.Long.remainderUnsigned(graft.functions.MinHashImpl.mix64(seed + j * 17L), vocab.size).toInt))
+    val base = (0 until 15).map(i => (f"d$i%02d", toks(i * 1000L, 30)))
+    val dups = base.map { case (id, t) => (id + "_dup", t.take(27) ++ toks(id.hashCode.toLong, 3)) }
+    val docs = (base ++ dups).toDF("id", "tokens").cache()
+
+    val model = DocEmbed.train(docs, dim = 16, iters = 8)
+    val vecs = DocEmbed.docVectors(model, docs).cache()
+    assert(vecs.where(size(col("vec")) =!= 16).count() == 0)
+
+    val queries = vecs.where(!col("id").endsWith("_dup"))
+    val top = Ann.bruteForceTopK(queries, vecs, k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val hit = base.count { case (id, _) => top(id) == s"${id}_dup" }
+    info(s"doc2vec-analogue nearest-neighbor hit: $hit/15")
+    assert(hit >= 13, s"shared-content docs must be nearest neighbors: $hit/15")
+  }
+
+  test("text -> Word2Vec -> IVF end-to-end recall vs brute force") {
+    val vocab = (0 until 40).map(i => s"w$i")
+    def toks(seed: Long, n: Int): Seq[String] =
+      (0 until n).map(j => vocab(
+        java.lang.Long.remainderUnsigned(graft.functions.MinHashImpl.mix64(seed + j * 17L), vocab.size).toInt))
+    val base = (0 until 30).map(i => (f"d$i%02d", toks(i * 1000L, 30)))
+    val dups = base.map { case (id, t) => (id + "_dup", t.take(28) ++ toks(id.hashCode.toLong, 2)) }
+    val docs = (base ++ dups).toDF("id", "tokens").cache()
+    val vecs = DocEmbed.docVectors(DocEmbed.train(docs, dim = 16, iters = 8), docs).cache()
+    val queries = vecs.where(!col("id").endsWith("_dup")).limit(10)
+    val exact = Ann.bruteForceTopK(queries, vecs, 3)
+      .select(col("query_id"), col("neighbor_id")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val approx = Ann.ivfTopK(queries, vecs, k = 3, nCells = 6, nProbe = 3)
+      .select(col("query_id"), col("neighbor_id")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"text->embedding->IVF recall@3 = $recall%.3f")
+    assert(recall >= 0.8)
   }
 }

@@ -70,6 +70,38 @@ class ParitySpec extends AnyFunSuite {
     assert(f13.getAs[Int]("overlap") == 0 && f13.getAs[Int]("share_dummy") == 0)
   }
 
+  test("pairFeatures: broadcast-map and exploded-join IDF paths agree") {
+    val docs = Seq(
+      ("d1", Seq("a", "a", "b", "q")),
+      ("d2", Seq("a", "b", "c", "c")),
+      ("d3", Seq("x", "a")),
+      ("d4", Seq.empty[String])
+    ).toDF("id", "tokens")
+    val idf = TokenSim.idfTable(docs)
+    val pairs = Seq(("d1", "d2"), ("d1", "d3"), ("d2", "d3"), ("d1", "d4")).toDF("id1", "id2")
+    def rows(maxTerms: Int) =
+      TokenSim.pairFeatures(pairs, docs, idf, maxIdfMapTerms = maxTerms)
+        .orderBy("id1", "id2").collect().map(_.toSeq).toSeq
+    assert(rows(1000000) == rows(0), "large-vocabulary join path must match broadcast-map path")
+  }
+
+  test("pairFeatures: 10k-token docs + wide vocabulary complete quickly (single-pass bag)") {
+    // the O(len^2) bag would do ~10^8 comparisons per doc here; the sorted
+    // run-length bag is O(len log len)
+    val big = (0 until 6).map { d =>
+      (s"d$d", (0 until 10000).map(i => s"t${(i * (d + 7)) % 30000}"))
+    }
+    val docs = big.toDF("id", "tokens")
+    val idf = TokenSim.idfTable(docs)
+    val pairs = Seq(("d0", "d1"), ("d2", "d3"), ("d4", "d5")).toDF("id1", "id2")
+    val t0 = System.nanoTime()
+    val n = TokenSim.pairFeatures(pairs, docs, idf).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"3 pairs of 10k-token docs scored in $sec%.1f s")
+    assert(n == 3)
+    assert(sec < 60, f"single-pass bag must keep this in seconds, took $sec%.1f")
+  }
+
   test("macro pairwise F1 averages per-block scores (evaluate.py macro path)") {
     // block A: perfect (1 truth pair, found); block B: miss (1 truth pair, not found)
     val pred = Seq(("a1", "c1"), ("a2", "c1"), ("b1", "x1"), ("b2", "x2")).toDF("conv_id", "component")
