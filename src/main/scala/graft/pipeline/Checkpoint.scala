@@ -103,10 +103,31 @@ final class StageRunner(spark: SparkSession, warehouse: String, verbose: Boolean
         spark.read.parquet(dir)
       case _ =>
         val t0 = System.nanoTime()
-        build.write.mode("overwrite").parquet(dir)
+        // capture the write's own numOutputRows metric instead of re-reading
+        // the checkpoint just to count (at warehouse scale that second read
+        // doubles the stage's I/O). QueryExecutionListener events arrive
+        // async on the listener bus, hence the latch; a missing metric falls
+        // back to the old count-the-output read.
+        @volatile var written = -1L
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+            qe.executedPlan.metrics.get("numOutputRows").foreach(m => written = m.value)
+            latch.countDown()
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
+            latch.countDown()
+        }
+        spark.listenerManager.register(listener)
+        try {
+          build.write.mode("overwrite").parquet(dir)
+          latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        } finally spark.listenerManager.unregister(listener)
         val wallMs = (System.nanoTime() - t0) / 1000000
         val out = spark.read.parquet(dir)
-        val rows = out.count()
+        val rows = if (written >= 0) written else out.count()
         val files = new java.io.File(dir)
           .listFiles()
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -151,7 +172,7 @@ object CheckpointedDedup {
       Dedup.verify(cands, sigs, cfg)
     )
     val clusters = r.stage("clusters", s"cluster|$cfgStr", Seq("pairs", "sigs"))(
-      Dedup.cluster(spark, sigs, pairs)
+      Dedup.cluster(spark, sigs, pairs, ccCheckpointDir = Some(s"$warehouse/_cc_checkpoint"))
     )
     Dedup.Result(docs, sigs, pairs, clusters)
   }

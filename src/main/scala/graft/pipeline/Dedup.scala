@@ -210,29 +210,26 @@ object Dedup {
     b
   }
 
-  /** MinHash LSH banding: band hash -> bucket, then streamed pair emission. */
-  def lshCandidates(sigs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame = {
+  /** (bucket, id, payload) rows of the MinHash LSH banding pass — shared by
+    * the batch candidate generator and the incremental bucket store.
+    */
+  private[graft] def lshBuckets(sigs: DataFrame, cfg: Config): DataFrame = {
     val r = cfg.rows
-    val banded = sigs
-      .select(
-        explode(
-          transform(
-            sequence(lit(0), lit(cfg.bands - 1)),
-            b => xxhash64(slice($"sig", b * r + 1, lit(r)), b)
-          )
-        ).as("bucket"),
-        $"conv_id".as("id"),
-        lit(0L).as("payload")
-      )
-    bucketPairs(banded, cfg.bucketCap, metrics = metrics)
+    sigs.select(
+      explode(
+        transform(
+          sequence(lit(0), lit(cfg.bands - 1)),
+          b => xxhash64(slice($"sig", b * r + 1, lit(r)), b)
+        )
+      ).as("bucket"),
+      $"conv_id".as("id"),
+      lit(0L).as("payload")
+    )
   }
 
-  /** SimHash Hamming-ball candidates: 4x16-bit chunk banding guarantees every
-    * pair within Hamming distance 3 shares at least one exact chunk
-    * (pigeonhole); the in-stream Hamming gate bounds the final distance.
-    */
-  def simhashCandidates(sigs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame = {
-    val chunks = sigs.select(
+  /** (bucket, id, payload=simhash) rows of the SimHash chunk pass. */
+  private[graft] def simhashBuckets(sigs: DataFrame, cfg: Config): DataFrame =
+    sigs.select(
       explode(
         array((0 until 4).map(i =>
           xxhash64(shiftrightunsigned($"simhash", i * 16).bitwiseAND(lit(0xffffL)), lit(i))
@@ -241,9 +238,31 @@ object Dedup {
       $"conv_id".as("id"),
       $"simhash".as("payload")
     )
+
+  /** (bucket, id, payload) rows of the winnowing-anchor substring pass. */
+  private[graft] def anchorBuckets(sigs: DataFrame, cfg: Config): DataFrame =
+    sigs.select(
+      explode($"anchors").as("bucket"),
+      $"conv_id".as("id"),
+      lit(0L).as("payload")
+    )
+
+  /** In-stream pair gate for the SimHash pass. */
+  private[graft] def simhashGate(cfg: Config): (Long, Long) => Boolean = {
     val maxD = cfg.simhashMaxHamming
-    bucketPairs(chunks, cfg.bucketCap, (a, b) => java.lang.Long.bitCount(a ^ b) <= maxD, metrics)
+    (a, b) => java.lang.Long.bitCount(a ^ b) <= maxD
   }
+
+  /** MinHash LSH banding: band hash -> bucket, then streamed pair emission. */
+  def lshCandidates(sigs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame =
+    bucketPairs(lshBuckets(sigs, cfg), cfg.bucketCap, metrics = metrics)
+
+  /** SimHash Hamming-ball candidates: 4x16-bit chunk banding guarantees every
+    * pair within Hamming distance 3 shares at least one exact chunk
+    * (pigeonhole); the in-stream Hamming gate bounds the final distance.
+    */
+  def simhashCandidates(sigs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame =
+    bucketPairs(simhashBuckets(sigs, cfg), cfg.bucketCap, simhashGate(cfg), metrics)
 
   /** Exact-long-substring candidates via content-defined winnowing anchors
     * (ContentAnchors; the distributed-suffix-array stand-in, SURVEY §7.5):
@@ -251,15 +270,8 @@ object Dedup {
     * >= window+stride-1 are guaranteed to collide on an anchor hash. Exact
     * verification downstream keeps precision.
     */
-  def substringCandidates(sigs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame = {
-    val anchors = sigs
-      .select(
-        explode($"anchors").as("bucket"),
-        $"conv_id".as("id"),
-        lit(0L).as("payload")
-      )
-    bucketPairs(anchors, cfg.bucketCap, metrics = metrics)
-  }
+  def substringCandidates(sigs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame =
+    bucketPairs(anchorBuckets(sigs, cfg), cfg.bucketCap, metrics = metrics)
 
   /** Verification of distinct candidate pairs against exact shingle-set
     * Jaccard (c_org.py:18-28 analogue, keyed joins instead of positional
@@ -289,12 +301,20 @@ object Dedup {
   }
 
   /** Cluster verified pairs; every conversation gets a row (singletons map to
-    * themselves). Output: (conv_id, component)
+    * themselves). `ccCheckpointDir` switches the CC loop to reliable
+    * checkpointing (fault-tolerant on a real cluster); the checkpointed
+    * runner always passes its warehouse dir. Output: (conv_id, component)
     */
-  def cluster(spark: SparkSession, allIds: DataFrame, edges: DataFrame): DataFrame = {
+  def cluster(
+      spark: SparkSession,
+      allIds: DataFrame,
+      edges: DataFrame,
+      ccCheckpointDir: Option[String] = None
+  ): DataFrame = {
     val comps = ConnectedComponents.run(
       spark,
-      edges.select($"id1".as("src"), $"id2".as("dst"))
+      edges.select($"id1".as("src"), $"id2".as("dst")),
+      checkpointDir = ccCheckpointDir
     )
     allIds
       .select($"conv_id")

@@ -19,9 +19,29 @@ object ConnectedComponents {
   /** edges: DataFrame(src, dst) undirected, any orientation, self-loops ok.
     * Returns DataFrame(id, component) covering every node present in edges;
     * component = min node id of the component.
+    *
+    * Iteration state is pinned per round. With `checkpointDir` set the pin is
+    * a RELIABLE `checkpoint()` into that directory — on a real cluster a lost
+    * executor recomputes from the checkpoint files, whereas
+    * `localCheckpoint`'s executor-local blocks would abort the whole job
+    * (unrecomputable lineage). Without a dir (tests/ad-hoc local runs) it
+    * falls back to localCheckpoint for speed. The production path
+    * (CheckpointedDedup) always passes its warehouse checkpoint dir.
+    *
+    * Exiting via maxIter without reaching the edge-set fixpoint would return
+    * a possibly-inconsistent labeling, so it throws instead; 50 doubled star
+    * rounds cover any graph this universe stores (rounds needed ~ log n).
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxIter: Int = 50,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
     import spark.implicits._
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def pin(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) d.checkpoint(true) else d.localCheckpoint(true)
 
     // canonical directed-to-smaller representation: (hi > lo)
     def canon(e: DataFrame): DataFrame = e
@@ -58,7 +78,7 @@ object ConnectedComponents {
       canon(ss)
     }
 
-    var cur = canon(edges).localCheckpoint(true)
+    var cur = pin(canon(edges))
     var curSig = sig(cur)
     var converged = false
     var iter = 0
@@ -66,7 +86,7 @@ object ConnectedComponents {
       // two star phases per materialization: halves the checkpoint/agg job
       // rounds (the driver-side latency floor of the loop) without changing
       // the fixpoint
-      val next = starRound(starRound(cur)).localCheckpoint(true)
+      val next = pin(starRound(starRound(cur)))
 
       // convergence: edge set unchanged (count + order-independent XOR
       // checksum); previous iteration's signature is reused, one agg job per
@@ -77,6 +97,9 @@ object ConnectedComponents {
       curSig = nextSig
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not reach its edge-set fixpoint in $maxIter doubled star rounds")
 
     // at convergence every edge is (node -> component root); roots map to themselves
     cur

@@ -36,25 +36,36 @@ object GraphFeatures {
   }
 
   /** For each within-block pair (observed or not): shortest-path feature
-    * `1/dist` with edge weight `1/sim` (shortpath.py:48,75), 0 when
-    * disconnected. Emits all C(n,2) pairs per block (the reference emits the
-    * full pair matrix per name) — callers cap block size upstream.
-    * clusters: (conv_id, component); pairs: (id1, id2, jaccard).
+    * `featureNumerator/dist`, 0 when disconnected. Two modes matching the
+    * reference's two variants, selected per call:
+    *   - weighted (default): edge weight `1/sim` over `weightCol`, feature
+    *     `1/dist` (shortpath.py:48,75); the Makefile runs one such pass per
+    *     similarity field (Makefile:136-159) — that parameterization is
+    *     `weightCol`;
+    *   - `unweighted = true`: every edge costs 1 (hop count), feature
+    *     `2/dist` with `featureNumerator = 2` (short_path.R:65-85
+    *     `coau_dist`; its `coau_dummy` indicator is `feature == 1`).
+    * Emits all C(n,2) pairs per block (the reference emits the full pair
+    * matrix per name) — callers cap block size upstream.
+    * clusters: (conv_id, component); pairs: (id1, id2, <weightCol>).
     * Output: (id1, id2, sp_feature).
     */
   def shortestPathFeatures(
       spark: SparkSession,
       clusters: DataFrame,
       pairs: DataFrame,
-      maxBlock: Int = 512
+      maxBlock: Int = 512,
+      weightCol: String = "jaccard",
+      unweighted: Boolean = false,
+      featureNumerator: Double = 1.0
   ): DataFrame = {
     import spark.implicits._
     val c1 = clusters.select(col("conv_id").as("id1"), col("component"))
     val withComp = pairs.join(c1, "id1")
-      .select(col("component"), col("id1"), col("id2"), col("jaccard"))
+      .select(col("component"), col("id1"), col("id2"), col(weightCol).as("sim"))
     val rows = clusters
-      .select(col("component"), col("conv_id"), lit(null).cast("string").as("id2"), lit(0.0).as("jaccard"))
-      .unionByName(withComp.select(col("component"), col("id1").as("conv_id"), col("id2"), col("jaccard")))
+      .select(col("component"), col("conv_id"), lit(null).cast("string").as("id2"), lit(0.0).as("sim"))
+      .unionByName(withComp.select(col("component"), col("id1").as("conv_id"), col("id2"), col("sim")))
 
     rows
       .as[(String, String, Option[String], Double)]
@@ -73,7 +84,8 @@ object GraphFeatures {
         else {
           val adj = Array.fill(n)(List.empty[(Int, Double)])
           edges.foreach { case (a, b, s) =>
-            val (i, j, w) = (ids(a), ids(b), 1.0 / s)
+            val (i, j) = (ids(a), ids(b))
+            val w = if (unweighted) 1.0 else 1.0 / s
             adj(i) = (j, w) :: adj(i)
             adj(j) = (i, w) :: adj(j)
           }
@@ -84,7 +96,7 @@ object GraphFeatures {
             j <- Iterator.range(i + 1, n)
           } yield {
             val d = dist(i)(j)
-            val f = if (d.isInfinity || d == 0.0) 0.0 else 1.0 / d
+            val f = if (d.isInfinity || d == 0.0) 0.0 else featureNumerator / d
             if (names(i) < names(j)) (names(i), names(j), f) else (names(j), names(i), f)
           }
         }

@@ -13,12 +13,20 @@ import graft.pipeline.Dedup
   *
   *   - `readStream` over the transcripts directory; per micro-batch,
   *     complete conversations are assembled and signed exactly like batch
-  *     (same ShingleHashes/MinHash/SimHash expressions);
-  *   - a persistent signature store (parquet table) accumulates signatures;
-  *     each batch generates LSH candidates restricted to pairs touching at
-  *     least one NEW conversation (new x new ∪ new x old — old x old pairs
-  *     were emitted by earlier batches), verifies them exactly, and appends
-  *     to the pairs table;
+  *     (same ShingleHashes/MinHash/SimHash/anchor expressions);
+  *   - a persistent BUCKET store (pass, bucket, conv_id, payload) accumulates
+  *     every LSH band / SimHash chunk / substring anchor ever emitted; each
+  *     batch generates (a) new x new candidates with the batch chunk/cap
+  *     generator over just the new signatures and (b) new x old candidates by
+  *     equi-joining the new bucket entries against the store — so per-batch
+  *     candidate WORK is O(new buckets + matching store rows), not
+  *     O(accumulated corpus) as re-bucketing the whole signature store each
+  *     batch would be. All three candidate passes run incrementally,
+  *     including the substring-anchor pass (anchors ride the store);
+  *   - the old side of a hot bucket is hash-thinned to `bucketCap` members
+  *     (same discipline as the batch chunk cap / ANN probe cap);
+  *   - exact verification joins candidate ids against the signature store —
+  *     a keyed join (at warehouse scale: a bucket-partitioned table);
   *   - clustering stays a batch job over the accumulated pairs table
   *     (connected components is not incrementally maintainable without
   *     rewriting history — re-run `Dedup.cluster` on demand).
@@ -29,7 +37,23 @@ import graft.pipeline.Dedup
   */
 object IncrementalDedup {
 
-  final case class Stores(sigStore: String, pairStore: String)
+  final case class Stores(sigStore: String, pairStore: String) {
+    def bucketStore: String = s"${sigStore}_buckets"
+  }
+
+  /** All bucket entries of a signature frame, tagged by pass. */
+  private def bucketEntries(sigs: DataFrame, cfg: Dedup.Config): DataFrame = {
+    val l = Dedup.lshBuckets(sigs, cfg).select(lit("lsh").as("pass"), $"bucket", $"id", $"payload")
+    val s =
+      if (cfg.simhashEnabled)
+        Dedup.simhashBuckets(sigs, cfg).select(lit("sim").as("pass"), $"bucket", $"id", $"payload")
+      else l.limit(0)
+    val a =
+      if (cfg.substringEnabled)
+        Dedup.anchorBuckets(sigs, cfg).select(lit("sub").as("pass"), $"bucket", $"id", $"payload")
+      else l.limit(0)
+    l.unionByName(s).unionByName(a)
+  }
 
   /** Process one micro-batch of transcript rows. Returns (newConvs, newPairs). */
   def processBatch(
@@ -39,32 +63,54 @@ object IncrementalDedup {
       cfg: Dedup.Config
   ): (Long, Long) = {
     val docs = Dedup.assemble(batch)
-    val newSigs = Dedup.signatures(Dedup.shingle(docs, cfg), cfg)
-      .select($"conv_id", $"shingles", $"sig", $"simhash")
-      .cache()
+    val newSigs = Dedup.signatures(Dedup.shingle(docs, cfg), cfg).cache()
     val nNew = newSigs.count()
 
-    val haveOld = new java.io.File(stores.sigStore).exists()
-    val oldSigs = if (haveOld) spark.read.parquet(stores.sigStore) else newSigs.limit(0)
+    // (a) new x new — the batch generators over just this batch's signatures
+    // (identical chunk-cap semantics to the batch pipeline)
+    var cands = Dedup.lshCandidates(newSigs, cfg)
+    if (cfg.simhashEnabled) cands = cands.union(Dedup.simhashCandidates(newSigs, cfg))
+    if (cfg.substringEnabled) cands = cands.union(Dedup.substringCandidates(newSigs, cfg))
 
-    // candidates among the union, pruned to pairs touching a new conv
-    val all = oldSigs.select($"conv_id", $"shingles", $"sig", $"simhash")
-      .union(newSigs).cache()
-    val newIds = newSigs.select($"conv_id")
-    var cands = Dedup.lshCandidates(all, cfg)
-    if (cfg.simhashEnabled) cands = cands.union(Dedup.simhashCandidates(all, cfg))
-    val touchingNew = cands
-      .join(newIds.select($"conv_id".as("id1")).withColumn("n1", lit(1)), Seq("id1"), "left_outer")
-      .join(newIds.select($"conv_id".as("id2")).withColumn("n2", lit(1)), Seq("id2"), "left_outer")
-      .where($"n1".isNotNull || $"n2".isNotNull)
-      .select($"id1", $"id2")
-    val pairs = Dedup.verify(touchingNew, all, cfg).cache()
+    // (b) new x old — join new bucket entries against the persisted store;
+    // old side of oversized buckets hash-thinned to bucketCap
+    val newB = bucketEntries(newSigs, cfg).cache()
+    val haveOld = new java.io.File(stores.bucketStore).exists()
+    if (haveOld) {
+      val old = spark.read.parquet(stores.bucketStore)
+      val oldCapped = old
+        .join(
+          old.groupBy($"pass", $"bucket").agg(count(lit(1)).as("bsz"))
+            .where($"bsz" > cfg.bucketCap),
+          Seq("pass", "bucket"),
+          "left_outer"
+        )
+        .where($"bsz".isNull || pmod(xxhash64($"id", $"bucket"), $"bsz") < cfg.bucketCap)
+        .drop("bsz")
+      val maxD = cfg.simhashMaxHamming
+      val joined = newB.select($"pass", $"bucket", $"id".as("nid"), $"payload".as("np"))
+        .join(oldCapped.select($"pass", $"bucket", $"id".as("oid"), $"payload".as("op")),
+          Seq("pass", "bucket"))
+        .where($"nid" =!= $"oid")
+        .where($"pass" =!= "sim" || bit_count($"np".bitwiseXOR($"op")) <= maxD)
+        .select(least($"nid", $"oid").as("id1"), greatest($"nid", $"oid").as("id2"))
+      cands = cands.union(joined)
+    }
+
+    // exact verification over old + new signatures
+    val sigCols = Seq($"conv_id", $"shingles", $"sig", $"simhash")
+    val oldSigs =
+      if (new java.io.File(stores.sigStore).exists()) spark.read.parquet(stores.sigStore)
+      else newSigs.select(sigCols: _*).limit(0)
+    val all = oldSigs.select(sigCols: _*).union(newSigs.select(sigCols: _*))
+    val pairs = Dedup.verify(cands.select($"id1", $"id2"), all, cfg).cache()
     val nPairs = pairs.count()
 
     pairs.write.mode("append").parquet(stores.pairStore)
-    newSigs.write.mode("append").parquet(stores.sigStore)
+    newB.write.mode("append").parquet(stores.bucketStore)
+    newSigs.select(sigCols: _*).write.mode("append").parquet(stores.sigStore)
     newSigs.unpersist()
-    all.unpersist()
+    newB.unpersist()
     pairs.unpersist()
     (nNew, nPairs)
   }

@@ -68,5 +68,25 @@ class CheckpointSpec extends AnyFunSuite {
     assert(m.contains(".parquet"))
     val Some((fp, rows)) = TableIO.readManifest(wh, "clusters")
     assert(rows > 0 && fp.nonEmpty)
+    // the listener-captured write metric must equal the actual output count
+    // (no second read of the checkpoint just to count)
+    assert(rows == spark.read.parquet(s"$wh/clusters").count(),
+      "manifest rows must match written rows")
+  }
+
+  test("CC reliable checkpoint: identical labeling, checkpoint files on disk") {
+    import graft.plans.ConnectedComponents
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft-cc-ckpt").toString
+    // chain + triangle + singleton-ish edge: forces a few star rounds
+    val edges = ((1 to 40).map(i => (s"n$i", s"n${i + 1}")) ++
+      Seq(("t1", "t2"), ("t2", "t3"), ("t1", "t3"), ("z1", "z2"))).toDF("src", "dst")
+    def labels(cc: org.apache.spark.sql.DataFrame) =
+      cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = labels(ConnectedComponents.run(spark, edges))
+    val reliable = labels(ConnectedComponents.run(spark, edges, checkpointDir = Some(ckpt)))
+    assert(local == reliable, "reliable checkpointing must not change the labeling")
+    val written = new java.io.File(ckpt).listFiles()
+    assert(written != null && written.nonEmpty, "reliable mode must write checkpoint files")
   }
 }

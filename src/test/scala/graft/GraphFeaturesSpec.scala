@@ -30,4 +30,28 @@ class GraphFeaturesSpec extends AnyFunSuite {
     assert(feats(("x", "y")) == 1.0)
     assert(feats.size == 7, s"C(4,2)+C(2,2)=7 pairs, got ${feats.size}") // full pair matrix per block
   }
+
+  test("unweighted 2/dist variant (short_path.R coau_dist parity)") {
+    val clusters = Seq(("a", "C"), ("b", "C"), ("c", "C"), ("d", "C"))
+      .toDF("conv_id", "component")
+    val pairs = Seq(("a", "b", 0.5), ("b", "c", 0.25)).toDF("id1", "id2", "jaccard")
+    val feats = GraphFeatures
+      .shortestPathFeatures(spark, clusters, pairs, unweighted = true, featureNumerator = 2.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(feats(("a", "b")) == 2.0) // 1 hop -> 2/1
+    assert(feats(("a", "c")) == 1.0) // 2 hops -> 2/2; coau_dummy == (feature == 1)
+    assert(feats(("a", "d")) == 0.0) // disconnected
+  }
+
+  test("weight column is parameterized (one shortpath pass per feature field)") {
+    val clusters = Seq(("a", "C"), ("b", "C"), ("c", "C")).toDF("conv_id", "component")
+    val pairs = Seq(("a", "b", 0.9, 0.2), ("b", "c", 0.9, 0.5))
+      .toDF("id1", "id2", "jaccard", "org_sim")
+    val feats = GraphFeatures
+      .shortestPathFeatures(spark, clusters, pairs, weightCol = "org_sim")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(feats(("a", "b")) == 0.2) // 1/(1/0.2)
+    assert(feats(("b", "c")) == 0.5)
+    assert(feats(("a", "c")) == 1.0 / 7.0) // 5 + 2
+  }
 }
