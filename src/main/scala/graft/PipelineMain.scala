@@ -79,13 +79,9 @@ object PipelineMain {
         val shingled = Dedup.shingle(docs, cfg)
         val sigs = Dedup.signatures(shingled, cfg).cache()
         timed("signatures")(sigs.count())
-        val lsh = Dedup.lshCandidates(sigs, cfg).cache()
-        timed("lsh_cand")(lsh.count())
-        val sim = Dedup.simhashCandidates(sigs, cfg).cache()
-        timed("simhash_cand")(sim.count())
-        val sub = Dedup.substringCandidates(sigs, cfg).cache()
-        timed("substr_cand")(sub.count())
-        val pairs = Dedup.verify(lsh.union(sim).union(sub), sigs, cfg).cache()
+        val cands = Dedup.candidates(sigs, cfg).cache()
+        timed("candidates")(cands.count())
+        val pairs = Dedup.verify(cands, sigs, cfg).cache()
         timed("verify")(pairs.count())
         val clusters = timed("cc")(Dedup.cluster(spark, sigs, pairs).cache())
         timed("cc_count")(clusters.count())

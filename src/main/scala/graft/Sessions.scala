@@ -8,7 +8,13 @@ import org.apache.spark.sql.SparkSession
   * `local[N]` is the sandbox stand-in for an N-executor cluster.
   */
 object Sessions {
-  def local(cores: Int, appName: String = "graft"): SparkSession = {
+  /** `shufflePartitions` defaults to `cores`; the bench's scaling runs pin it
+    * to the SAME value at both parallelism levels so the logical work is
+    * identical and only executor parallelism varies (the controlled N vs 4N
+    * experiment).
+    */
+  def local(cores: Int, appName: String = "graft", shufflePartitions: Option[Int] = None): SparkSession = {
+    val parts = shufflePartitions.getOrElse(cores)
     val b0 = SparkSession.builder()
     // respect an externally-provided master (spark-submit on a real cluster
     // injects spark.master; local[] is the sandbox fallback only)
@@ -17,7 +23,7 @@ object Sessions {
       else b0.master(s"local[$cores]")
     val s = withMaster
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // AQE coalesces on COMPRESSED shuffle bytes; transcript text compresses
@@ -25,7 +31,7 @@ object Sessions {
       // partitions and serializes them. 8MB advisory + a one-partition-per-
       // core floor keeps CPU scaling without losing AQE skew handling.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cores.toString)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", parts.toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -214,11 +214,31 @@ object Ann {
       (array_position(d, array_min(d)) - 1).cast("int")
     }
 
-    // Lloyd iterations: per-dim LONG sums (order-independent) -> new centroids
+    // Lloyd iterations: per-dim LONG sums (order-independent) -> new
+    // centroids. Assignment inside the loop joins a tiny broadcast centroid
+    // table instead of baking centroids into literal expressions: the plan
+    // SHAPE stays constant across iterations, so analysis + whole-stage
+    // codegen are cached after round one (literal centroids would recompile
+    // a nCells x dim expression every iteration — measured as the dominant
+    // cost of the whole index build). Argmin = min(struct(dist, cell)):
+    // value-based, ties to the lowest cell, partition-order independent.
+    val spark = corpus.sparkSession
+    import spark.implicits._
     var it = 0
     while (it < iters) {
+      val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+      val dist = aggregate(
+        zip_with(col("qv"), col("centroid"), (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+        lit(0.0),
+        (s, x) => s + x
+      )
       val sums = sample
-        .select(assignExpr(col("qv")).as("cell"), posexplode(col("qv")).as(Seq("d", "v")))
+        .crossJoin(broadcast(centDf))
+        .select(col("id"), col("qv"), struct(dist.as("dist"), col("cell").as("cell")).as("dc"))
+        .groupBy(col("id"))
+        .agg(min(col("dc")).as("m"), first(col("qv")).as("v")) // one qv per id: first is exact
+        .select(col("m.cell").as("cell"), posexplode(col("v")).as(Seq("d", "v")))
         .groupBy(col("cell"), col("d"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
         .collect()

@@ -162,12 +162,9 @@ object CheckpointedDedup {
     val sigs = r.stage("sigs", s"signatures|$cfgStr", Seq("docs"))(
       Dedup.signatures(Dedup.shingle(docs, cfg), cfg)
     )
-    val cands = r.stage("candidates", s"candidates|$cfgStr", Seq("sigs")) {
-      var c = Dedup.lshCandidates(sigs, cfg)
-      if (cfg.simhashEnabled) c = c.union(Dedup.simhashCandidates(sigs, cfg))
-      if (cfg.substringEnabled) c = c.union(Dedup.substringCandidates(sigs, cfg))
-      c
-    }
+    val cands = r.stage("candidates", s"candidates|$cfgStr", Seq("sigs"))(
+      Dedup.candidates(sigs, cfg)
+    )
     val pairs = r.stage("pairs", s"verify|$cfgStr", Seq("candidates", "sigs"))(
       Dedup.verify(cands, sigs, cfg)
     )

@@ -273,6 +273,29 @@ object Dedup {
   def substringCandidates(sigs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame =
     bucketPairs(anchorBuckets(sigs, cfg), cfg.bucketCap, metrics = metrics)
 
+  /** ALL enabled candidate passes in ONE shuffle: the three bucket frames
+    * (disjoint 64-bit key spaces) union before the single hash-partition +
+    * sorted-group pair emission, so the full candidate generation costs one
+    * shuffle of the combined entries instead of three separate
+    * groupBy-shuffles over the same cached signatures (each with its own job
+    * scheduling + codegen floor — measurable at any scale, dominant at
+    * bench scale). Pair semantics are identical to the three separate
+    * passes: buckets never merge across passes, so chunking/caps behave the
+    * same, and the SimHash Hamming gate applies only where payloads are
+    * non-zero (LSH/anchor rows carry payload 0; a genuine simhash of 0 — an
+    * empty doc — passes the gate and is caught by exact verification like
+    * any other candidate).
+    */
+  def candidates(sigs: DataFrame, cfg: Config, metrics: Option[SkewMetrics] = None): DataFrame = {
+    var entries = lshBuckets(sigs, cfg)
+    if (cfg.simhashEnabled) entries = entries.union(simhashBuckets(sigs, cfg))
+    if (cfg.substringEnabled) entries = entries.union(anchorBuckets(sigs, cfg))
+    val maxD = cfg.simhashMaxHamming
+    val gate: (Long, Long) => Boolean =
+      (a, b) => (a == 0L && b == 0L) || java.lang.Long.bitCount(a ^ b) <= maxD
+    bucketPairs(entries, cfg.bucketCap, gate, metrics)
+  }
+
   /** Verification of distinct candidate pairs against exact shingle-set
     * Jaccard (c_org.py:18-28 analogue, keyed joins instead of positional
     * alignment). One fused join pass: pairs pick up (sig, shingles) for each
@@ -338,15 +361,9 @@ object Dedup {
   def run(spark: SparkSession, transcripts: DataFrame, cfg: Config = Config()): Result = {
     val docs = assemble(transcripts) // single consumer (shingle) — not cached
     val shingled = shingle(docs, cfg)
-    val sigs = signatures(shingled, cfg).cache() // reused by 3 candidate passes + verify + cluster
-    val skew = Map(
-      "lsh" -> skewMetrics(spark, "lsh"),
-      "simhash" -> skewMetrics(spark, "simhash"),
-      "substring" -> skewMetrics(spark, "substring")
-    )
-    var cands = lshCandidates(sigs, cfg, skew.get("lsh"))
-    if (cfg.simhashEnabled) cands = cands.union(simhashCandidates(sigs, cfg, skew.get("simhash")))
-    if (cfg.substringEnabled) cands = cands.union(substringCandidates(sigs, cfg, skew.get("substring")))
+    val sigs = signatures(shingled, cfg).cache() // reused by candidates + verify + cluster
+    val skew = Map("candidates" -> skewMetrics(spark, "candidates"))
+    val cands = candidates(sigs, cfg, skew.get("candidates"))
     val pairs = verify(cands, sigs, cfg).cache() // consumed by cluster + caller's sink
     val clusters = cluster(spark, sigs, pairs)
     Result(docs, sigs, pairs, clusters, skew)

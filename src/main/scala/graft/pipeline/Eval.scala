@@ -102,6 +102,27 @@ object Eval {
     per.agg(avg(col("f1"))).as[Option[Double]].first().getOrElse(1.0)
   }
 
+  /** Per-block prediction accuracy report (check_train_labels.py:10-21,
+    * A11): mean (label == prediction) per block, descending — the
+    * reference's per-name accuracy ranking used to spot blocks the
+    * classifier handles poorly. labeled: (block, label, pred) with any
+    * equality-comparable label/pred columns. Output: (block, n, accuracy)
+    * ordered worst-last like the reference's `sort_values(ascending=False)`.
+    */
+  def perBlockAccuracy(
+      labeled: DataFrame,
+      blockCol: String = "block",
+      labelCol: String = "label",
+      predCol: String = "pred"
+  ): DataFrame =
+    labeled
+      .groupBy(col(blockCol).as("block"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg((col(labelCol) === col(predCol)).cast("double")).as("accuracy")
+      )
+      .orderBy(col("accuracy").desc, col("block"))
+
   /** Brute-force exact-Jaccard oracle pairs at small n (test-only): all pairs
     * of assembled docs with shingle-set Jaccard >= threshold — the reference-
     * semantics ground truth (all-pairs scoring, id_pairs.py:21-23 analogue).

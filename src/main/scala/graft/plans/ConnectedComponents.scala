@@ -20,13 +20,26 @@ object ConnectedComponents {
     * Returns DataFrame(id, component) covering every node present in edges;
     * component = min node id of the component.
     *
-    * Iteration state is pinned per round. With `checkpointDir` set the pin is
-    * a RELIABLE `checkpoint()` into that directory — on a real cluster a lost
-    * executor recomputes from the checkpoint files, whereas
-    * `localCheckpoint`'s executor-local blocks would abort the whole job
-    * (unrecomputable lineage). Without a dir (tests/ad-hoc local runs) it
-    * falls back to localCheckpoint for speed. The production path
-    * (CheckpointedDedup) always passes its warehouse checkpoint dir.
+    * Adaptive execution, same spirit as Spark's broadcast-join cutoff: an
+    * edge set at or under `localThreshold` rows is collected and solved with
+    * driver-side union-find — one job plus a parallelize, versus the
+    * iterative loop's ~8 barrier jobs whose fixed scheduling floor dwarfs the
+    * actual work on small graphs (a 2M-edge set is ~64 MB on a driver that
+    * Spark sizes in GB; the near-dup pair graph is a vanishing fraction of
+    * corpus size — 100 TB of transcripts yields millions, not billions, of
+    * verified pairs unless the corpus is mostly duplicates). Larger edge
+    * sets take the distributed large-star/small-star loop unchanged. Both
+    * paths produce the identical (id, min-node-id) labeling —
+    * PropertiesSpec pins them against each other.
+    *
+    * Iteration state in the distributed loop is pinned per round. With
+    * `checkpointDir` set the pin is a RELIABLE `checkpoint()` into that
+    * directory — on a real cluster a lost executor recomputes from the
+    * checkpoint files, whereas `localCheckpoint`'s executor-local blocks
+    * would abort the whole job (unrecomputable lineage). Without a dir
+    * (tests/ad-hoc local runs) it falls back to localCheckpoint for speed.
+    * The production path (CheckpointedDedup) always passes its warehouse
+    * checkpoint dir.
     *
     * Exiting via maxIter without reaching the edge-set fixpoint would return
     * a possibly-inconsistent labeling, so it throws instead; 50 doubled star
@@ -36,9 +49,17 @@ object ConnectedComponents {
       spark: SparkSession,
       edges: DataFrame,
       maxIter: Int = 50,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      localThreshold: Long = 1000000L
   ): DataFrame = {
     import spark.implicits._
+
+    if (localThreshold > 0 && edges.limit((localThreshold + 1).toInt).count() <= localThreshold) {
+      val rows = edges.select($"src".cast("string"), $"dst".cast("string"))
+        .as[(String, String)].collect()
+      return localUnionFind(spark, rows)
+    }
+
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def pin(d: DataFrame): DataFrame =
       if (checkpointDir.isDefined) d.checkpoint(true) else d.localCheckpoint(true)
@@ -78,20 +99,28 @@ object ConnectedComponents {
       canon(ss)
     }
 
-    var cur = pin(canon(edges))
-    var curSig = sig(cur)
+    val verbose = sys.env.get("GRAFT_CC_VERBOSE").contains("true")
+    def vtimed[A](name: String)(f: => A): A = {
+      val s0 = System.nanoTime()
+      val r = f
+      if (verbose) println(f"[cc] $name%-10s ${(System.nanoTime() - s0) / 1e9}%6.2f s")
+      r
+    }
+
+    var cur = vtimed("canon")(pin(canon(edges)))
+    var curSig = vtimed("sig0")(sig(cur))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // two star phases per materialization: halves the checkpoint/agg job
       // rounds (the driver-side latency floor of the loop) without changing
       // the fixpoint
-      val next = pin(starRound(starRound(cur)))
+      val next = vtimed(s"round$iter")(pin(starRound(starRound(cur))))
 
       // convergence: edge set unchanged (count + order-independent XOR
       // checksum); previous iteration's signature is reused, one agg job per
       // round
-      val nextSig = sig(next)
+      val nextSig = vtimed(s"sig$iter")(sig(next))
       converged = curSig == nextSig
       cur = next
       curSig = nextSig
@@ -107,5 +136,46 @@ object ConnectedComponents {
       .union(cur.select($"lo".as("id"), $"lo".as("component")))
       .groupBy($"id")
       .agg(min($"component").as("component"))
+  }
+
+  /** Driver-side union-find with path halving; representative = min node id
+    * of each set (matching the distributed loop's labeling exactly,
+    * independent of edge order).
+    */
+  private def localUnionFind(spark: SparkSession, edges: Array[(String, String)]): DataFrame = {
+    import spark.implicits._
+    // self-loops are dropped exactly like the distributed canon() — a node
+    // appearing only in self-loops is absent from both labelings (callers
+    // map uncovered nodes to themselves, Dedup.cluster:coalesce)
+    val real = edges.filter(e => e._1 != e._2)
+    val idx = scala.collection.mutable.HashMap[String, Int]()
+    real.foreach { case (a, b) =>
+      idx.getOrElseUpdate(a, idx.size); idx.getOrElseUpdate(b, idx.size)
+    }
+    val parent = Array.tabulate(idx.size)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    real.foreach { case (a, b) =>
+      val (ra, rb) = (find(idx(a)), find(idx(b)))
+      if (ra != rb) parent(ra) = rb
+    }
+    val names = new Array[String](idx.size)
+    idx.foreach { case (name, i) => names(i) = name }
+    // min node id per set
+    val minOf = scala.collection.mutable.HashMap[Int, String]()
+    var i = 0
+    while (i < names.length) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur.isEmpty || names(i) < cur.get) minOf(r) = names(i)
+      i += 1
+    }
+    val out = new Array[(String, String)](names.length)
+    i = 0
+    while (i < names.length) { out(i) = (names(i), minOf(find(i))); i += 1 }
+    spark.createDataset(out.toIndexedSeq).toDF("id", "component")
   }
 }

@@ -103,4 +103,51 @@ object GraphFeatures {
       }
       .toDF("id1", "id2", "sp_feature")
   }
+
+  /** Same-component indicator per candidate pair (G8,
+    * shortpath_feature.py:63-70 / subgraph.py:63-72 binary variant): joins
+    * each pair's endpoints to their component labels; 1 when both sides land
+    * in the same component, 0 otherwise (including endpoints absent from the
+    * clustering — no component, no connection). Two keyed joins, any scale.
+    * pairs: (id1, id2); clusters: (conv_id, component).
+    * Output: (id1, id2, same_component).
+    */
+  def sameComponentFeature(pairs: DataFrame, clusters: DataFrame): DataFrame =
+    pairs
+      .join(clusters.select(col("conv_id").as("id1"), col("component").as("c1")), Seq("id1"), "left_outer")
+      .join(clusters.select(col("conv_id").as("id2"), col("component").as("c2")), Seq("id2"), "left_outer")
+      .select(
+        col("id1"),
+        col("id2"),
+        // explicit when: SQL three-valued logic turns (non-null === null)
+        // into NULL, not false
+        when(col("c1").isNotNull && col("c2").isNotNull && col("c1") === col("c2"), 1)
+          .otherwise(0).as("same_component")
+      )
+
+  /** Shared-key adjacency (G3, coauthor adjacency — coauthor_glue.R:32-39,
+    * short_path.R:27-28,45-50): entities are adjacent iff they share a key
+    * whose global frequency lies in [minKeyCount, maxKeyCount] — the
+    * reference keeps coauthors seen more than once but fewer than 4 times
+    * (`1 < count < 4`), dropping both noise keys and uninformative hubs.
+    * A self equi-join on the key with the frequency filter pushed BEFORE the
+    * join (predicate-before-expansion, SURVEY §4); the hub cap doubles as
+    * the skew guard. members: (id, key). Output: (key, id1, id2) distinct,
+    * id1 < id2.
+    */
+  def sharedKeyAdjacency(
+      members: DataFrame,
+      minKeyCount: Long = 2,
+      maxKeyCount: Long = 3
+  ): DataFrame = {
+    val m = members.select(col("id"), col("key")).distinct()
+    val keep = m.groupBy(col("key")).agg(count(lit(1)).as("kc"))
+      .where(col("kc") >= minKeyCount && col("kc") <= maxKeyCount)
+      .select(col("key"))
+    val filtered = m.join(keep, Seq("key"))
+    filtered.select(col("key"), col("id").as("id1"))
+      .join(filtered.select(col("key"), col("id").as("id2")), Seq("key"))
+      .where(col("id1") < col("id2"))
+      .distinct()
+  }
 }

@@ -66,11 +66,9 @@ object IncrementalDedup {
     val newSigs = Dedup.signatures(Dedup.shingle(docs, cfg), cfg).cache()
     val nNew = newSigs.count()
 
-    // (a) new x new — the batch generators over just this batch's signatures
-    // (identical chunk-cap semantics to the batch pipeline)
-    var cands = Dedup.lshCandidates(newSigs, cfg)
-    if (cfg.simhashEnabled) cands = cands.union(Dedup.simhashCandidates(newSigs, cfg))
-    if (cfg.substringEnabled) cands = cands.union(Dedup.substringCandidates(newSigs, cfg))
+    // (a) new x new — the batch generator over just this batch's signatures
+    // (identical chunk-cap semantics to the batch pipeline, one shuffle)
+    var cands = Dedup.candidates(newSigs, cfg)
 
     // (b) new x old — join new bucket entries against the persisted store;
     // old side of oversized buckets hash-thinned to bucketCap

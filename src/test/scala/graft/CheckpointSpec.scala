@@ -83,8 +83,11 @@ class CheckpointSpec extends AnyFunSuite {
       Seq(("t1", "t2"), ("t2", "t3"), ("t1", "t3"), ("z1", "z2"))).toDF("src", "dst")
     def labels(cc: org.apache.spark.sql.DataFrame) =
       cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val local = labels(ConnectedComponents.run(spark, edges))
-    val reliable = labels(ConnectedComponents.run(spark, edges, checkpointDir = Some(ckpt)))
+    // localThreshold = 0: the reliable-checkpoint behavior under test lives
+    // in the distributed loop
+    val local = labels(ConnectedComponents.run(spark, edges, localThreshold = 0L))
+    val reliable =
+      labels(ConnectedComponents.run(spark, edges, checkpointDir = Some(ckpt), localThreshold = 0L))
     assert(local == reliable, "reliable checkpointing must not change the labeling")
     val written = new java.io.File(ckpt).listFiles()
     assert(written != null && written.nonEmpty, "reliable mode must write checkpoint files")

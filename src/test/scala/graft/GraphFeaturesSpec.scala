@@ -43,6 +43,40 @@ class GraphFeaturesSpec extends AnyFunSuite {
     assert(feats(("a", "d")) == 0.0) // disconnected
   }
 
+  test("same-component indicator: joined labels, absent nodes never connect") {
+    val clusters = Seq(("a", "C"), ("b", "C"), ("x", "X")).toDF("conv_id", "component")
+    val pairs = Seq(("a", "b"), ("a", "x"), ("a", "zz")).toDF("id1", "id2")
+    val m = GraphFeatures.sameComponentFeature(pairs, clusters)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(m(("a", "b")) == 1)
+    assert(m(("a", "x")) == 0)
+    assert(m(("a", "zz")) == 0) // zz unlabeled
+  }
+
+  test("shared-key adjacency keeps mid-frequency keys only (1 < count < 4 parity)") {
+    val members = Seq(
+      ("p1", "kRare"), // count 1: dropped
+      ("p2", "kPair"), ("p3", "kPair"), // count 2: kept
+      ("p4", "kTri"), ("p5", "kTri"), ("p6", "kTri"), // count 3: kept
+      ("p7", "kHub"), ("p8", "kHub"), ("p9", "kHub"), ("p0", "kHub") // count 4: hub, dropped
+    ).toDF("id", "key")
+    val adj = GraphFeatures.sharedKeyAdjacency(members)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(adj == Set(("p2", "p3"), ("p4", "p5"), ("p4", "p6"), ("p5", "p6")), adj.toString)
+  }
+
+  test("per-block accuracy report ranks blocks by mean correctness") {
+    import graft.pipeline.Eval
+    val labeled = Seq(
+      ("A", 1, 1), ("A", 0, 0), // perfect
+      ("B", 1, 0), ("B", 0, 0), // 0.5
+      ("C", 1, 0) // 0.0
+    ).toDF("block", "label", "pred")
+    val rows = Eval.perBlockAccuracy(labeled).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("A", 2L, 1.0), ("B", 2L, 0.5), ("C", 1L, 0.0)))
+  }
+
   test("weight column is parameterized (one shortpath pass per feature field)") {
     val clusters = Seq(("a", "C"), ("b", "C"), ("c", "C")).toDF("conv_id", "component")
     val pairs = Seq(("a", "b", 0.9, 0.2), ("b", "c", 0.9, 0.5))

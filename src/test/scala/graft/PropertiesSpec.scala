@@ -20,9 +20,11 @@ class PropertiesSpec extends AnyFunSuite {
   lazy val spark = Sessions.local(4, "props-spec")
   import spark.implicits._
 
+  // localThreshold = 0 forces the distributed star loop: the property must
+  // hold for the scale path, not the driver union-find shortcut
   private def componentsOf(edges: Seq[(String, String)]): Map[String, String] = {
     val df = edges.toDF("src", "dst")
-    ConnectedComponents.run(spark, df).collect()
+    ConnectedComponents.run(spark, df, localThreshold = 0L).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
   }
 
@@ -58,6 +60,18 @@ class PropertiesSpec extends AnyFunSuite {
         val shuffled = scala.util.Random.shuffle(es.map { case (a, b) => (b, a) }) ++ es.take(2)
         assert(partition(componentsOf(shuffled)) == partition(base))
       }
+    }
+  }
+
+  test("CC local union-find shortcut and distributed star loop label identically") {
+    samples(edgeGen, 8).filter(_.nonEmpty).foreach { esInt =>
+      val es = esInt.map { case (a, b) => (s"n$a", s"n$b") }
+      val df = es.toDF("src", "dst")
+      val dist = ConnectedComponents.run(spark, df, localThreshold = 0L).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val local = ConnectedComponents.run(spark, df, localThreshold = 1000000L).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(local == dist, s"adaptive cutoff must not change the labeling")
     }
   }
 

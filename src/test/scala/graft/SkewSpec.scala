@@ -22,9 +22,9 @@ class SkewSpec extends AnyFunSuite {
     val clusters = res.clusters.cache()
     clusters.count() // materialize -> accumulators final
 
-    val lsh = res.skew("lsh")
-    assert(lsh.oversizedBuckets.value > 0, "40-member boilerplate buckets must trip the cap")
-    assert(lsh.droppedPairs.value > 0, "cap must report dropped cross-chunk pairs")
+    val cand = res.skew("candidates")
+    assert(cand.oversizedBuckets.value > 0, "40-member boilerplate buckets must trip the cap")
+    assert(cand.droppedPairs.value > 0, "cap must report dropped cross-chunk pairs")
 
     // despite dropped pairs, each boilerplate cluster must stay ONE component
     val truth = Synth.truth(spark, scfg).toDF
