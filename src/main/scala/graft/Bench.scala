@@ -139,15 +139,31 @@ object Bench {
     // ladder. Identical shuffle partitioning at every level isolates
     // executor parallelism.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
-    val scaleParts = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS", "8").toInt
+    // 16 partitions = 4 task waves on 4 cores: a straggler partition idles
+    // the other cores for 1/4 of a wave instead of 1/2 (8 parts), while the
+    // 1-core run pays the same fixed per-task cost — same logical work
+    val scaleParts = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS", "16").toInt
     val ladder = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "8,4,2,1,4,1,4,1")
       .split(",").map(_.trim.toInt).toSeq
+    // probe-gated validity: a 1-thread bandwidth probe taken immediately
+    // before each rep tags it with the window's co-tenant contention;
+    // aggregation keeps each level's reps taken within 80% of the session's
+    // best window (all reps as fallback), then takes the min wall. Noise can
+    // only SLOW a run, so discarding contended-window reps removes bias
+    // instead of adding it.
     val runs = (1 to reps).flatMap { _ =>
-      ladder.map(c => c -> pipelineWall(c, inputDir, scaleParts))
+      ladder.map { c =>
+        val probe = memBandwidthProbe(1)
+        (c, probe, pipelineWall(c, inputDir, scaleParts))
+      }
     }
+    val maxProbe = runs.map(_._2).max
     val byCores = runs.groupBy(_._1).map { case (c, rs) =>
-      c -> (rs.head._2._1, rs.map(_._2._2).min, rs.map(_._2._3).min)
+      val q = rs.filter(_._2 >= 0.8 * maxProbe)
+      val use = if (q.nonEmpty) q else rs
+      c -> (use.head._3._1, use.map(_._3._2).min, use.map(_._3._3).min)
     }
+    val nQualified = runs.count(_._2 >= 0.8 * maxProbe)
     val nTurns = byCores(ladder.head)._1
     val levels = ladder.distinct
     def wall(c: Int) = byCores(c)._2
@@ -181,7 +197,8 @@ object Bench {
         f""""scaling":{${scalingJson(1, 4)}},""" +
         f""""scaling_2_8":{${scalingJson(2, 8)}},""" +
         f""""controls":{"cpu_thread_eff_1_4":$cpuEff4%.3f,"cpu_thread_eff_1_8":$cpuEff8%.3f,""" +
-        f""""mem_bw_mbps_by_threads":$bwJson},""" +
+        f""""mem_bw_mbps_by_threads":$bwJson,""" +
+        f""""probe_gate":{"max_probe_mbps":$maxProbe%.0f,"qualified_runs":$nQualified,"total_runs":${runs.size}}},""" +
         f""""wall_sec_by_cores":${levels.sorted.map(c => f""""$c":${wall(c)}%.2f""").mkString("{", ",", "}")}}"""
     )
   }

@@ -66,4 +66,27 @@ class PlanQualitySpec extends AnyFunSuite {
     // two HashAggregate nodes (partial + final) around the exchange
     assert("HashAggregate".r.findAllIn(s).size >= 2, s.take(2000))
   }
+
+  test("capped ANN paths never plan a cartesian product") {
+    import spark.implicits._
+    val vecs = (0 until 64).map(i => (s"v$i", Seq.fill(8)((i % 7).toFloat + 0.5f))).toDF("id", "vec")
+    val q = vecs.limit(4)
+    // e01-style brute force is the DELIBERATE cartesian baseline; the scale
+    // paths below must all be bucket/cell-keyed joins instead
+    val plans = Seq(
+      "lshTopK" -> graft.ops.Ann.lshTopK(q, vecs, dim = 8, k = 2),
+      "nearDupPairs" -> graft.ops.Ann.nearDupPairs(vecs, dim = 8, threshold = 0.9)
+    )
+    plans.foreach { case (name, df) =>
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct"), s"$name plans a cartesian product:\n${s.take(2000)}")
+    }
+  }
+
+  test("keyword classification is a single map-side scan (no join, no shuffle before explode)") {
+    val df = SparkEntry.queries("q25_keyword_classify")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange") && !s.contains("Join"),
+      s"q25 must be generate-over-scan only:\n${s.take(2000)}")
+  }
 }
