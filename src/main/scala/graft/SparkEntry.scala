@@ -283,7 +283,11 @@ object SparkEntry {
 
     // ---- n-gram Jaccard near-dup scoring over sampled doc pairs (A4
     // analogue: multiset-intersection scoring, c_org.py:18-28; integer
-    // intersection/union for engine stability)
+    // intersection/union for engine stability).
+    // DELIBERATE CARTESIAN DEMONSTRATOR: the all-pairs form exists so an
+    // independent engine can verify exact Jaccard values on a 1/10 sample —
+    // never point it at real data; the scalable equivalents are the LSH
+    // pipeline (p01) and the capped embedding paths (a02-a04).
     "d02_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .filter($"doc_id" % 10 === 0)
@@ -441,6 +445,20 @@ object SparkEntry {
       graft.ops.Ann.ivfTopK(queries, emb, k = 3, nCells = 16, nProbe = 4)
     }),
 
+    // ---- trained doc embeddings (M8 doc2vec analogue) -> exact top-k
+    // neighbors (M9 pair features): Word2Vec trains on a sorted single
+    // partition, so vectors — and this output — are reproducible at any
+    // parallelism (OpsSpec pins it); golden oracle
+    "a05_doc2vec_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select($"doc_id".cast("string").as("id"), split($"text", " ").as("tokens"))
+      val vecs = graft.ops.DocEmbed.docVectors(
+        graft.ops.DocEmbed.train(docs, dim = 16, iters = 3), docs)
+      val queries = vecs.where($"id".cast("long") % 25 === 0)
+      graft.ops.Ann.bruteForceTopK(queries, vecs, k = 3)
+        .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"), $"rank")
+    }),
+
     // ---- multimodal plumbing: synth binary assets -> decode stub -> frame
     // sampling -> per-modality frame counts (rows-only; no external media)
     "m01_multimodal_frames" -> ((s, _) => {
@@ -464,6 +482,7 @@ object SparkEntry {
     "a02_ann_lsh",
     "a03_embedding_neardup",
     "a04_ann_ivf",
+    "a05_doc2vec_topk",
     "d06_fingerprints",
     "m01_multimodal_frames",
     "p01_dedup_clusters",

@@ -228,6 +228,21 @@ class OpsSpec extends AnyFunSuite {
     assert(hit >= 13, s"shared-content docs must be nearest neighbors: $hit/15")
   }
 
+  test("Word2Vec doc embeddings are reproducible across input partitioning") {
+    val vocab = (0 until 30).map(i => s"w$i")
+    def toks(seed: Long, n: Int): Seq[String] =
+      (0 until n).map(j => vocab(
+        java.lang.Long.remainderUnsigned(graft.functions.MinHashImpl.mix64(seed + j * 17L), vocab.size).toInt))
+    val docs = (0 until 25).map(i => (f"d$i%02d", toks(i * 77L, 20))).toDF("id", "tokens")
+    def vecsAt(parts: Int): Map[String, Seq[Float]] = {
+      val d = docs.repartition(parts)
+      DocEmbed.docVectors(DocEmbed.train(d, dim = 8, iters = 3), d)
+        .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    }
+    assert(vecsAt(1) == vecsAt(5),
+      "sorted single-partition training must make vectors partition-independent")
+  }
+
   test("text -> Word2Vec -> IVF end-to-end recall vs brute force") {
     val vocab = (0 until 40).map(i => s"w$i")
     def toks(seed: Long, n: Int): Seq[String] =
