@@ -62,6 +62,25 @@ object TableIO {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Zip packaging sink (S9, Makefile:30-32,45-47: `zip -9 result.json` for
+    * submission): writes the frame as a single JSON-lines file and wraps it
+    * in a deflate-compressed zip — artifact packaging for the final (small)
+    * result table, not a data-scale sink. Returns the zip path.
+    */
+  def packageZip(df: DataFrame, outZip: String, entryName: String = "result.json"): String = {
+    val tmp = Files.createTempDirectory("graft-zip").toString
+    df.coalesce(1).write.mode("overwrite").json(tmp)
+    val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".json")).head
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(Paths.get(outZip)))
+    try {
+      zos.setLevel(9)
+      zos.putNextEntry(new java.util.zip.ZipEntry(entryName))
+      Files.copy(part.toPath, zos)
+      zos.closeEntry()
+    } finally zos.close()
+    outZip
+  }
+
   /** content fingerprint of a parquet input path: (name, size) of each file */
   def pathFingerprint(path: String): String = {
     val f = new java.io.File(path)

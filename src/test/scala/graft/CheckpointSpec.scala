@@ -74,6 +74,20 @@ class CheckpointSpec extends AnyFunSuite {
       "manifest rows must match written rows")
   }
 
+  test("zip packaging sink round-trips the result JSON (S9 parity)") {
+    import spark.implicits._
+    val df = Seq(("c1", "k1"), ("c2", "k1"), ("c3", "k2")).toDF("conv_id", "component")
+    val zip = Files.createTempDirectory("graft-zip-out").resolve("result.zip").toString
+    TableIO.packageZip(df, zip)
+    val zf = new java.util.zip.ZipFile(zip)
+    try {
+      val entry = zf.entries().nextElement()
+      assert(entry.getName == "result.json")
+      val lines = scala.io.Source.fromInputStream(zf.getInputStream(entry)).getLines().toSeq
+      assert(lines.size == 3 && lines.forall(l => l.startsWith("{") && l.contains("conv_id")))
+    } finally zf.close()
+  }
+
   test("CC reliable checkpoint: identical labeling, checkpoint files on disk") {
     import graft.plans.ConnectedComponents
     import spark.implicits._
