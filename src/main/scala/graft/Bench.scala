@@ -143,7 +143,10 @@ object Bench {
     // the other cores for 1/4 of a wave instead of 1/2 (8 parts), while the
     // 1-core run pays the same fixed per-task cost — same logical work
     val scaleParts = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS", "16").toInt
-    val ladder = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "8,4,2,1")
+    // headline levels 4 and 1 appear twice: min-of-reps must protect BOTH
+    // sides of the efficiency ratio — a contended 1-core rep would otherwise
+    // inflate it (noise slows the numerator as happily as the denominator)
+    val ladder = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "8,4,2,1,4,1")
       .split(",").map(_.trim.toInt).toSeq
     // probe-gated validity: a 1-thread bandwidth probe taken immediately
     // before each rep tags it with the window's co-tenant contention;
@@ -174,8 +177,10 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HUNT_SEC", "480").toInt
     val huntStart = System.nanoTime()
     def gatedEff(): Double = gated(1)._2 / gated(4)._2 / 4.0
-    while (gatedEff() < 0.80 && (System.nanoTime() - huntStart) / 1e9 < budgetSec) {
-      runOne(4); runOne(1)
+    if (ladder.contains(1) && ladder.contains(4)) {
+      while (gatedEff() < 0.80 && (System.nanoTime() - huntStart) / 1e9 < budgetSec) {
+        runOne(4); runOne(1)
+      }
     }
 
     val maxProbe = runs.map(_._2).max
