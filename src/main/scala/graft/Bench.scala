@@ -176,7 +176,14 @@ object Bench {
     // the methodology is visible in the artifact.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HUNT_SEC", "480").toInt
     val huntStart = System.nanoTime()
-    def gatedEff(): Double = gated(1)._2 / gated(4)._2 / 4.0
+    // hunt until the CONSERVATIVE (cpu-adjusted) efficiency clears the
+    // target: wall ratio scaled down by cpu_4n/cpu_n when the 1-core side
+    // burned more CPU (contended numerator inflates the raw ratio)
+    def gatedEff(): Double = {
+      val (w1, c1) = (gated(1)._2, gated(1)._3)
+      val (w4, c4) = (gated(4)._2, gated(4)._3)
+      w1 / w4 / 4.0 * math.min(1.0, c4 / c1)
+    }
     if (ladder.contains(1) && ladder.contains(4)) {
       while (gatedEff() < 0.80 && (System.nanoTime() - huntStart) / 1e9 < budgetSec) {
         runOne(4); runOne(1)
@@ -191,10 +198,20 @@ object Bench {
     def wall(c: Int) = byCores(c)._2
     def cpu(c: Int) = byCores(c)._3
 
+    // efficiency_cpu_adjusted: the conservative headline. Co-tenant noise on
+    // the N-core (numerator) side INFLATES the wall ratio; when the N-core
+    // run burned more CPU than the 4N-core run for identical work (the tell
+    // of a contended numerator — same work should cost LESS total CPU at
+    // lower parallelism), the ratio is scaled down by cpu_4n/cpu_n. Noise on
+    // the denominator side already deflates the raw number, so the
+    // correction is one-sided by design.
+    def adjusted(n: Int, n4: Int): Double =
+      wall(n) / wall(n4) / 4.0 * math.min(1.0, cpu(n4) / cpu(n))
+
     def scalingJson(n: Int, n4: Int): String =
       f""""cores_n":$n,"cores_4n":$n4,"wall_sec_n":${wall(n)}%.2f,"wall_sec_4n":${wall(n4)}%.2f,""" +
         f""""turns_per_sec_n":${nTurns / wall(n)}%.1f,"turns_per_sec_4n":${nTurns / wall(n4)}%.1f,""" +
-        f""""efficiency":${wall(n) / wall(n4) / 4.0}%.3f,""" +
+        f""""efficiency":${adjusted(n, n4)}%.3f,"efficiency_raw_wall":${wall(n) / wall(n4) / 4.0}%.3f,""" +
         f""""cpu_sec_n":${cpu(n)}%.1f,"cpu_sec_4n":${cpu(n4)}%.1f,"cpu_efficiency":${cpu(n) / cpu(n4)}%.3f"""
 
     // hardware controls: what this VM's cores/bus themselves deliver at the
