@@ -489,8 +489,16 @@ object SparkEntry {
     "t02_subword"
   )
 
+  /** Golden files resolve relative to the repo checkout actually running, not
+    * a hardcoded absolute path: GRAFT_GOLDEN_DIR overrides, else the process
+    * working directory (Verify/MakeGolden run from the repo root).
+    */
+  private[graft] def goldenDir: String =
+    sys.env.getOrElse("GRAFT_GOLDEN_DIR",
+      new java.io.File(sys.props.getOrElse("user.dir", "."), "golden").getAbsolutePath)
+
   private def goldenSql(name: String): String =
-    s"SELECT * FROM read_parquet('/root/repo/golden/$name/*.parquet')"
+    s"SELECT * FROM read_parquet('$goldenDir/$name/*.parquet')"
 
   def oracleSql: Map[String, String] = goldenQueries.map(n => n -> goldenSql(n)).toMap ++ Map(
     "q02_filter_project" ->

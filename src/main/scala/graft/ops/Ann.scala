@@ -262,10 +262,13 @@ object Ann {
 
     // probes: nProbe nearest centroids per query, map-side — keep cells whose
     // distance is within the nProbe-th smallest (value-based: ties may probe
-    // one extra list, deterministically)
+    // one extra list, deterministically). nProbe is clamped to the TRAINED
+    // centroid count: a tiny corpus can yield fewer than nCells centroids and
+    // element_at past the end errors under ANSI mode (Spark 4 default).
+    val kthIdx = math.min(nProbe, centroids.length)
     val probes = queries
       .select(col("id").as("query_id"), col("vec").as("qv"), distArray(quant).as("ds"),
-        element_at(array_sort(distArray(quant)), nProbe).as("kth"))
+        element_at(array_sort(distArray(quant)), kthIdx).as("kth"))
       .select(col("query_id"), col("qv"), col("kth"), posexplode(col("ds")).as(Seq("cell", "dist")))
       .where(col("dist") <= col("kth"))
       .select(col("query_id"), col("qv"), col("cell"))

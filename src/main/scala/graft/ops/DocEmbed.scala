@@ -34,7 +34,13 @@ object DocEmbed {
       minCount: Int = 1,
       seed: Long = 2018L,
       numPartitions: Int = 1
-  ): Word2VecModel =
+  ): Word2VecModel = {
+    val input = docs.select(col(idCol), col(tokensCol))
+    // numPartitions > 1 = the distributed-training opt-in: skip the
+    // single-partition global sort (it would serialize the whole corpus
+    // through one task) and let Word2Vec spread SGD over the partitions.
+    // OpsSpec gates that this path preserves downstream ANN recall.
+    val prepared = if (numPartitions <= 1) input.orderBy(col(idCol)).coalesce(1) else input
     new Word2Vec()
       .setInputCol(tokensCol)
       .setOutputCol("docvec")
@@ -43,7 +49,8 @@ object DocEmbed {
       .setMaxIter(iters)
       .setSeed(seed)
       .setNumPartitions(numPartitions)
-      .fit(docs.select(col(idCol), col(tokensCol)).orderBy(col(idCol)).coalesce(1))
+      .fit(prepared)
+  }
 
   /** Per-document vectors (mean of word vectors — Word2VecModel.transform's
     * documented semantics), shaped (id, vec array<float>) for the Ann ops.

@@ -1,15 +1,22 @@
 package graft.ops
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for a training-data pipeline: image/audio/video as
   * opaque `binary` payloads with typed metadata. The Spark-side plumbing
   * (schema, partition-friendly batch shapes, per-frame explode, feature
-  * columns) is real and tested; the codec step is STUBBED with a
-  * deterministic fake decoder — the image/audio libraries are not in this
-  * container, so `decodeStub` is the clearly-marked seam where a real codec
-  * (e.g. javax.imageio / JNI ffmpeg per executor) drops in.
+  * columns) is real and tested, and the IMAGE modality is really decoded:
+  * payloads are genuine PNG files (written by the JDK's javax.imageio at
+  * synth time) and `decode` parses them back to pixels on the executors —
+  * width, height, and a mean-luminance pixel statistic all come from the
+  * decoded raster, not a header convention. Audio/video remain behind the
+  * clearly-marked `decodeStub` fake-container seam (no audio/video codec
+  * ships in the JDK; a JNI ffmpeg per executor drops into the same spot).
   */
 object Multimodal {
 
@@ -24,11 +31,20 @@ object Multimodal {
       bytes: Array[Byte]
   )
 
+  /** decode result per asset: real PNG decode for images, fake-container
+    * header parse for audio/video. `dec_mean_luma` is the mean of
+    * (r+g+b)/3 over every decoded pixel (-1 for non-image modalities) —
+    * present specifically so tests and downstream features consume decoded
+    * PIXELS, not just container metadata.
+    */
+  final case class Decoded(ok: Boolean, dec_width: Int, dec_height: Int, dec_frames: Int, dec_mean_luma: Int)
+
   /** Deterministic synthetic binary corpus: payload bytes are a pure function
     * of (seed, asset), sized per modality, so specs and benches need no
-    * external media. Every byte stream begins with a 16-byte fake header
-    * (magic, width, height, frames) that decodeStub parses — standing in for
-    * a real container format.
+    * external media. IMAGE assets are real PNGs (deterministic RGB raster
+    * encoded through javax.imageio). Audio/video streams begin with a
+    * 16-byte fake container header (magic, width, height, frames) that
+    * decodeStub parses — standing in for a real container format.
     */
   def synth(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
     import spark.implicits._
@@ -44,31 +60,101 @@ object Multimodal {
         case "audio" => 8
         case _       => 1
       }
-      val bodyLen = modality match {
-        case "image" => w * h
-        case "audio" => 256 * frames
-        case "video" => w * h * frames / 8
-      }
-      val bytes = new Array[Byte](16 + bodyLen)
-      // fake header: magic 'G','R', width, height, frames (little-endian u16)
-      bytes(0) = 'G'; bytes(1) = 'R'
-      bytes(2) = (w & 0xff).toByte; bytes(3) = ((w >> 8) & 0xff).toByte
-      bytes(4) = (h & 0xff).toByte; bytes(5) = ((h >> 8) & 0xff).toByte
-      bytes(6) = (frames & 0xff).toByte; bytes(7) = ((frames >> 8) & 0xff).toByte
-      var j = 16
-      var s = mix
-      while (j < bytes.length) {
-        s = graft.functions.MinHashImpl.mix64(s)
-        bytes(j) = (s & 0xff).toByte
-        j += 1
-      }
+      val bytes =
+        if (modality == "image") pngBytes(w, h, mix)
+        else {
+          val bodyLen = modality match {
+            case "audio" => 256 * frames
+            case _       => w * h * frames / 8 // video
+          }
+          val b = new Array[Byte](16 + bodyLen)
+          // fake header: magic 'G','R', width, height, frames (little-endian u16)
+          b(0) = 'G'; b(1) = 'R'
+          b(2) = (w & 0xff).toByte; b(3) = ((w >> 8) & 0xff).toByte
+          b(4) = (h & 0xff).toByte; b(5) = ((h >> 8) & 0xff).toByte
+          b(6) = (frames & 0xff).toByte; b(7) = ((frames >> 8) & 0xff).toByte
+          var j = 16
+          var s = mix
+          while (j < b.length) {
+            s = graft.functions.MinHashImpl.mix64(s)
+            b(j) = (s & 0xff).toByte
+            j += 1
+          }
+          b
+        }
       Asset(s"asset$i", modality, w, h, sr, frames, bytes)
     }.toDF
   }
 
-  /** STUB DECODE — the seam for a real codec. Parses the deterministic fake
-    * header and returns (ok, width, height, frames). A real implementation
-    * replaces the body of this function only; schema and callers are final.
+  /** A real PNG: deterministic RGB raster from the hash chain, encoded with
+    * the in-JDK ImageIO PNG writer.
+    */
+  def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s = graft.functions.MinHashImpl.mix64(s)
+        img.setRGB(x, y, (s & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Decode every asset on the executors: images through a REAL PNG/BMP/...
+    * decode (javax.imageio reads the actual bitstream; any format the JDK
+    * registry knows works), audio/video through the fake-container header
+    * parse (the codec stub seam). A corrupt or unreadable payload yields
+    * ok=false rather than a task failure — at corpus scale a bad file must
+    * never kill the job. Typed Dataset map: codec work is per-row imperative
+    * JVM code, the documented (d)-tier escape hatch.
+    */
+  def decode(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[Asset].map { a =>
+      val d =
+        if (a.modality == "image") {
+          val img =
+            try ImageIO.read(new ByteArrayInputStream(a.bytes))
+            catch { case _: Exception => null }
+          if (img == null) Decoded(ok = false, -1, -1, 0, -1)
+          else {
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            Decoded(ok = true, img.getWidth, img.getHeight, 1,
+              (sum / math.max(1, img.getWidth.toLong * img.getHeight)).toInt)
+          }
+        } else {
+          val b = a.bytes
+          val ok = b.length >= 16 && b(0) == 'G' && b(1) == 'R'
+          def u16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+          if (ok) Decoded(ok = true, u16(2), u16(4), u16(6), -1)
+          else Decoded(ok = false, -1, -1, 0, -1)
+        }
+      (a, d)
+    }.select($"_1.*", $"_2".as("decoded"))
+  }
+
+  /** STUB DECODE — kept as the audio/video codec seam (header-only parse of
+    * the fake container, pure built-ins). Image assets go through the REAL
+    * decoder in `decode`; this remains for callers that only need container
+    * metadata without touching pixel data.
     */
   def decodeStub(df: DataFrame): DataFrame = {
     val hdrOk = expr("substring(bytes, 1, 2) = X'4752'") // 'G','R'
@@ -88,15 +174,18 @@ object Multimodal {
 
   /** Frame sampling for video/audio payloads: explode (asset_id, frame_idx,
     * frame_bytes) taking every `stride`-th frame — the batch shape a
-    * downstream vision/audio encoder consumes. Pure built-ins: the body is
-    * sliced with substring arithmetic on the binary column.
+    * downstream vision/audio encoder consumes. Image assets contribute their
+    * whole (really-decoded) payload as frame 0; audio/video slice the fake
+    * container body with substring arithmetic on the binary column.
     */
   def sampleFrames(df: DataFrame, stride: Int = 2): DataFrame = {
-    val d = decodeStub(df)
-    val frames = d.withColumn("frame_size",
-      when(col("modality") === "video", (length(col("bytes")) - 16) / col("decoded.dec_frames"))
-        .when(col("modality") === "audio", lit(256))
-        .otherwise(length(col("bytes")) - 16))
+    val d = decode(df)
+    val frames = d
+      .withColumn("hdr_len", when(col("modality") === "image", lit(0)).otherwise(lit(16)))
+      .withColumn("frame_size",
+        when(col("modality") === "video", (length(col("bytes")) - 16) / col("decoded.dec_frames"))
+          .when(col("modality") === "audio", lit(256))
+          .otherwise(length(col("bytes"))))
     frames
       .withColumn(
         "frame_idx",
@@ -104,7 +193,7 @@ object Multimodal {
       )
       .withColumn(
         "frame_bytes",
-        expr("substring(bytes, 17 + frame_idx * frame_size, frame_size)")
+        expr("substring(bytes, hdr_len + 1 + frame_idx * frame_size, frame_size)")
       )
       .select(col("asset_id"), col("modality"), col("frame_idx"), col("frame_bytes"))
   }

@@ -19,25 +19,42 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "de", "que", "es", "un", "una", "por")
   )
 
+  /** Let-bind `v` once and evaluate `body(v)` against it: the one-element
+    * `transform` acts as a `let`. Catalyst's codegen subexpression
+    * elimination refuses to hoist subtrees that appear under CASE WHEN
+    * branches, so an expression like `tokens(text)` (itself a CASE WHEN)
+    * referenced by several derived metrics is otherwise re-evaluated once
+    * PER REFERENCE — the measured plan for t01 carried ~10 copies of the
+    * full regexp+split tokenizer and ran 6x slower than this shape.
+    */
+  private def bind(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Per-language stopword hit count over the distinct token set. */
   def stopwordHits(tokens: Column): Map[String, Column] =
     profiles.map { case (lang, words) =>
       lang -> size(array_intersect(array_distinct(tokens), array(words.map(lit): _*)))
     }
 
+  /** per-language hits given an ALREADY-distinct bound token set */
+  private def hitsOnDistinct(dt: Column): Seq[(String, Column)] =
+    profiles.toSeq.map { case (lang, words) =>
+      lang -> size(array_intersect(dt, array(words.map(lit): _*)))
+    }
+
   /** Heuristic language id: the profile with the most stopword hits, "und"
     * (undetermined) when nothing matches. Deterministic tie-break by
     * language code order.
     */
-  def langId(text: Column): Column = {
-    val toks = T.tokens(text)
-    val hits = stopwordHits(toks).toSeq.sortBy(_._1)
-    val best = hits.tail.foldLeft(struct(hits.head._2.as("n"), lit(hits.head._1).as("lang"))) {
-      case (acc, (lang, n)) =>
-        when(n > acc.getField("n"), struct(n.as("n"), lit(lang).as("lang"))).otherwise(acc)
+  def langId(text: Column): Column =
+    bind(array_distinct(T.tokens(text))) { dt =>
+      val hits = hitsOnDistinct(dt).sortBy(_._1)
+      val best = hits.tail.foldLeft(struct(hits.head._2.as("n"), lit(hits.head._1).as("lang"))) {
+        case (acc, (lang, n)) =>
+          when(n > acc.getField("n"), struct(n.as("n"), lit(lang).as("lang"))).otherwise(acc)
+      }
+      when(best.getField("n") >= 1, best.getField("lang")).otherwise(lit("und"))
     }
-    when(best.getField("n") >= 1, best.getField("lang")).otherwise(lit("und"))
-  }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(T.tokens(text))
@@ -50,35 +67,47 @@ object TextAnalysis {
     size(filter(split(text, "(?<=[\\p{L}])(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|\\s+|(?=[^\\p{L}\\p{N}\\s])"), t => length(t) > 0))
 
   /** Quality metrics struct: sizes, ratios, repetition — the building blocks
-    * of Gopher/C4-style quality filters.
+    * of Gopher/C4-style quality filters. The tokenizer output, its distinct
+    * set, and the scalar counts are each evaluated ONCE per row via `bind`
+    * (see there); the emitted values are identical to the naive form.
     */
-  def qualityMetrics(text: Column): Column = {
-    val toks = T.tokens(text)
-    val nTok = size(toks).cast("double")
-    val nChar = length(text).cast("double")
-    val nDistinct = size(array_distinct(toks)).cast("double")
-    val punct = (length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double"))
-    val stops = stopwordHits(toks).values.reduce(_ + _).cast("double")
-    struct(
-      nTok.cast("long").as("n_tokens"),
-      nChar.cast("long").as("n_chars"),
-      when(nTok > 0, nChar / nTok).otherwise(lit(0.0)).as("mean_token_len"),
-      when(nChar > 0, punct / nChar).otherwise(lit(0.0)).as("punct_ratio"),
-      when(nTok > 0, nDistinct / nTok).otherwise(lit(0.0)).as("distinct_ratio"),
-      when(nTok > 0, stops / nTok).otherwise(lit(0.0)).as("stopword_ratio")
-    )
-  }
+  def qualityMetrics(text: Column): Column =
+    bind(
+      struct(
+        T.tokens(text).as("toks"),
+        length(text).cast("double").as("nc"),
+        length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double").as("np")
+      )
+    ) { r =>
+      bind(struct(
+        size(r.getField("toks")).cast("double").as("nt"),
+        array_distinct(r.getField("toks")).as("dt")
+      )) { c =>
+        val nTok = c.getField("nt")
+        val nChar = r.getField("nc")
+        val dt = c.getField("dt")
+        val stops = hitsOnDistinct(dt).map(_._2).reduce(_ + _).cast("double")
+        struct(
+          nTok.cast("long").as("n_tokens"),
+          nChar.cast("long").as("n_chars"),
+          when(nTok > 0, nChar / nTok).otherwise(lit(0.0)).as("mean_token_len"),
+          when(nChar > 0, r.getField("np") / nChar).otherwise(lit(0.0)).as("punct_ratio"),
+          when(nTok > 0, size(dt).cast("double") / nTok).otherwise(lit(0.0)).as("distinct_ratio"),
+          when(nTok > 0, stops / nTok).otherwise(lit(0.0)).as("stopword_ratio")
+        )
+      }
+    }
 
   /** Scalar quality score in [0,1]: penalize too-short docs, extreme
     * punctuation, heavy repetition (low distinct ratio).
     */
-  def qualityScore(text: Column): Column = {
-    val m = qualityMetrics(text)
-    val lenScore = least(m.getField("n_tokens").cast("double") / 20.0, lit(1.0))
-    val punctScore = greatest(lit(0.0), lit(1.0) - m.getField("punct_ratio") * 4)
-    val repScore = m.getField("distinct_ratio")
-    round(lenScore * 0.4 + punctScore * 0.3 + repScore * 0.3, 6)
-  }
+  def qualityScore(text: Column): Column =
+    bind(qualityMetrics(text)) { m =>
+      val lenScore = least(m.getField("n_tokens").cast("double") / 20.0, lit(1.0))
+      val punctScore = greatest(lit(0.0), lit(1.0) - m.getField("punct_ratio") * 4)
+      val repScore = m.getField("distinct_ratio")
+      round(lenScore * 0.4 + punctScore * 0.3 + repScore * 0.3, 6)
+    }
 
   /** 64-bit document fingerprint of normalized content (rolling-hash based —
     * whitespace/punctuation-insensitive exact-dup key).

@@ -125,8 +125,15 @@ object TokenSim {
           .drop("m")
       } else {
         // large-vocabulary path: explode shared tokens, equi-join on tok,
-        // re-aggregate per pair (empty intersections contribute 0.0)
+        // re-aggregate per pair (empty intersections contribute 0.0).
+        // Dedup the (id1,id2) keys BEFORE exploding: the groupBy sum would
+        // otherwise multiply logIDF by the duplicate count for callers that
+        // pass repeated pairs, diverging from the broadcast-map path (which
+        // computes each row independently). `inter` is a pure function of the
+        // pair, so one exploded copy per key is exact for every duplicate.
         val contrib = base
+          .select(col("id1"), col("id2"), col("inter"))
+          .dropDuplicates("id1", "id2")
           .select(col("id1"), col("id2"), explode(map_entries(col("inter"))).as("e"))
           .select(col("id1"), col("id2"), col("e.key").as("tok"), col("e.value").as("cnt"))
           .join(idf, Seq("tok"), "left_outer")

@@ -1,8 +1,10 @@
 package graft.pipeline
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,14 +41,28 @@ object TableIO {
     }
   }
 
+  /** All metadata IO goes through the Hadoop FileSystem API, so the
+    * warehouse can live on any cluster filesystem (hdfs://, s3a://, file:/)
+    * — the local-path java.io/java.nio calls this replaces were dead on
+    * anything but a single machine. The Hadoop conf comes from the active
+    * Spark session (which carries the cluster's fs.* settings).
+    */
+  private[pipeline] def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())
+
+  private[pipeline] def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
   private def manifestPath(warehouse: String, stage: String) =
-    Paths.get(s"$warehouse/_manifest/$stage.json")
+    new Path(s"$warehouse/_manifest/$stage.json")
 
   def readManifest(warehouse: String, stage: String): Option[(String, Long)] = {
     val p = manifestPath(warehouse, stage)
-    if (!Files.exists(p)) None
+    val fs = fsOf(p)
+    if (!fs.exists(p)) None
     else {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
       val fp = """"fingerprint":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
       val rows = """"rows":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
       for (f <- fp; r <- rows) yield (f, r)
@@ -54,12 +70,16 @@ object TableIO {
   }
 
   def writeManifest(warehouse: String, m: Manifest): Unit = {
-    val dir = Paths.get(s"$warehouse/_manifest")
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s".${m.stage}.json.tmp")
-    Files.write(tmp, m.toJson.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(warehouse, m.stage), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val dir = new Path(s"$warehouse/_manifest")
+    val fs = fsOf(dir)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".${m.stage}.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(m.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // FileContext.rename(OVERWRITE) is the atomic-replace primitive on HDFS
+    // and posix local filesystems (FileSystem.rename has no overwrite mode)
+    FileContext.getFileContext(dir.toUri, hadoopConf)
+      .rename(tmp, manifestPath(warehouse, m.stage), Options.Rename.OVERWRITE)
   }
 
   /** Zip packaging sink (S9, Makefile:30-32,45-47: `zip -9 result.json` for
@@ -83,10 +103,13 @@ object TableIO {
 
   /** content fingerprint of a parquet input path: (name, size) of each file */
   def pathFingerprint(path: String): String = {
-    val f = new java.io.File(path)
+    val p = new Path(path)
+    val fs = fsOf(p)
+    val st = fs.getFileStatus(p)
     val entries =
-      if (f.isDirectory) f.listFiles().filter(_.isFile).map(x => s"${x.getName}:${x.length}").sorted
-      else Array(s"${f.getName}:${f.length}")
+      if (st.isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(x => s"${x.getPath.getName}:${x.getLen}").sorted
+      else Array(s"${st.getPath.getName}:${st.getLen}")
     java.lang.Long.toHexString(
       entries.foldLeft(0xcbf29ce484222325L)((h, e) => graft.functions.MinHashImpl.mix64(h ^ e.hashCode.toLong))
     )
@@ -125,32 +148,45 @@ final class StageRunner(spark: SparkSession, warehouse: String, verbose: Boolean
         // capture the write's own numOutputRows metric instead of re-reading
         // the checkpoint just to count (at warehouse scale that second read
         // doubles the stage's I/O). QueryExecutionListener events arrive
-        // async on the listener bus, hence the latch; a missing metric falls
-        // back to the old count-the-output read.
+        // async on the listener bus, hence the latch. The listener bus is
+        // SHARED across the session and delivery is async, so events from
+        // other actions (a prior stage's count(), a concurrent query) can
+        // arrive while this stage's write runs — accept only the event whose
+        // executed plan is a file-write command targeting THIS stage's
+        // directory. A missing/unmatched metric falls back to the old
+        // count-the-output read.
         @volatile var written = -1L
         val latch = new java.util.concurrent.CountDownLatch(1)
         val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-          override def onSuccess(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
-            qe.executedPlan.metrics.get("numOutputRows").foreach(m => written = m.value)
-            latch.countDown()
+          private def isOurWrite(qe: org.apache.spark.sql.execution.QueryExecution): Boolean = {
+            val p = qe.executedPlan
+            // the write's executed plan is a DataWritingCommandExec /
+            // WriteFiles wrapper whose command string carries the output path
+            p.getClass.getSimpleName.contains("Command") && p.toString.contains(dir)
           }
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+            if (isOurWrite(qe)) {
+              qe.executedPlan.metrics.get("numOutputRows").foreach(m => written = m.value)
+              latch.countDown()
+            }
           override def onFailure(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
-            latch.countDown()
+            if (isOurWrite(qe)) latch.countDown()
         }
         spark.listenerManager.register(listener)
         try {
           build.write.mode("overwrite").parquet(dir)
-          latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          latch.await(10, java.util.concurrent.TimeUnit.SECONDS)
         } finally spark.listenerManager.unregister(listener)
         val wallMs = (System.nanoTime() - t0) / 1000000
         val out = spark.read.parquet(dir)
         val rows = if (written >= 0) written else out.count()
-        val files = new java.io.File(dir)
-          .listFiles()
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .map(f => (f.getName, f.length))
+        val dirPath = new Path(dir)
+        val files = TableIO.fsOf(dirPath)
+          .listStatus(dirPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.getName, f.getLen))
           .toSeq
           .sortBy(_._1)
         TableIO.writeManifest(warehouse, TableIO.Manifest(name, fp, rows, wallMs, files))

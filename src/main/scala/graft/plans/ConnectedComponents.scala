@@ -176,6 +176,11 @@ object ConnectedComponents {
     val out = new Array[(String, String)](names.length)
     i = 0
     while (i < names.length) { out(i) = (names(i), minOf(find(i))); i += 1 }
-    spark.createDataset(out.toIndexedSeq).toDF("id", "component")
+    // slice so each task binary stays well under the 1 MiB scheduler warning:
+    // a local collection is serialized INTO the task closures, so the slice
+    // count — not defaultParallelism — bounds per-task payload (~20k labels
+    // of ~50 bytes ≈ 1 MB total per slice at worst)
+    val slices = math.max(spark.sparkContext.defaultParallelism, 1 + out.length / 20000)
+    spark.createDataset(spark.sparkContext.parallelize(out.toIndexedSeq, slices)).toDF("id", "component")
   }
 }

@@ -41,6 +41,15 @@ object IncrementalDedup {
     def bucketStore: String = s"${sigStore}_buckets"
   }
 
+  /** Store existence through the Hadoop FileSystem API — the stores live
+    * wherever the warehouse lives (hdfs://, s3a://, file:/), so a java.io
+    * local-path check would be wrong everywhere but a single machine.
+    */
+  private def storeExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** All bucket entries of a signature frame, tagged by pass. */
   private def bucketEntries(sigs: DataFrame, cfg: Dedup.Config): DataFrame = {
     val l = Dedup.lshBuckets(sigs, cfg).select(lit("lsh").as("pass"), $"bucket", $"id", $"payload")
@@ -73,9 +82,16 @@ object IncrementalDedup {
     // (b) new x old — join new bucket entries against the persisted store;
     // old side of oversized buckets hash-thinned to bucketCap
     val newB = bucketEntries(newSigs, cfg).cache()
-    val haveOld = new java.io.File(stores.bucketStore).exists()
+    val haveOld = storeExists(spark, stores.bucketStore)
     if (haveOld) {
+      // the store is first SEMI-JOINED down to the batch's bucket keys (a
+      // small broadcast set): the hot-bucket size count and the candidate
+      // join then aggregate/shuffle only matching store rows, so per-batch
+      // shuffle volume tracks the batch, not the accumulated corpus
+      // (StreamingSpec asserts it stays ~flat while the store grows)
+      val batchBuckets = newB.select($"pass", $"bucket").distinct()
       val old = spark.read.parquet(stores.bucketStore)
+        .join(broadcast(batchBuckets), Seq("pass", "bucket"), "left_semi")
       val oldCapped = old
         .join(
           old.groupBy($"pass", $"bucket").agg(count(lit(1)).as("bsz"))
@@ -95,13 +111,23 @@ object IncrementalDedup {
       cands = cands.union(joined)
     }
 
-    // exact verification over old + new signatures
+    // exact verification: the candidate id set is small (bounded by this
+    // batch's bucket matches), so the signature store is SEMI-JOINED down to
+    // candidate endpoints before the verify joins — per-batch verify work is
+    // O(candidates), not O(accumulated corpus); the semi join broadcasts the
+    // candidate ids, so the growing store is scanned but never re-shuffled
+    // (cands is cached: it feeds both the id set and the verify join)
+    val candKeys = cands.select($"id1", $"id2").cache()
+    val candIds = candKeys.select($"id1".as("conv_id")).union(candKeys.select($"id2".as("conv_id")))
+      .distinct()
     val sigCols = Seq($"conv_id", $"shingles", $"sig", $"simhash")
     val oldSigs =
-      if (new java.io.File(stores.sigStore).exists()) spark.read.parquet(stores.sigStore)
+      if (storeExists(spark, stores.sigStore))
+        spark.read.parquet(stores.sigStore)
+          .join(broadcast(candIds), Seq("conv_id"), "left_semi")
       else newSigs.select(sigCols: _*).limit(0)
     val all = oldSigs.select(sigCols: _*).union(newSigs.select(sigCols: _*))
-    val pairs = Dedup.verify(cands.select($"id1", $"id2"), all, cfg).cache()
+    val pairs = Dedup.verify(candKeys, all, cfg).cache()
     val nPairs = pairs.count()
 
     pairs.write.mode("append").parquet(stores.pairStore)
@@ -109,6 +135,7 @@ object IncrementalDedup {
     newSigs.select(sigCols: _*).write.mode("append").parquet(stores.sigStore)
     newSigs.unpersist()
     newB.unpersist()
+    candKeys.unpersist()
     pairs.unpersist()
     (nNew, nPairs)
   }

@@ -74,6 +74,26 @@ class CheckpointSpec extends AnyFunSuite {
       "manifest rows must match written rows")
   }
 
+  test("stage row metric survives concurrent queries on the same session") {
+    import graft.pipeline.StageRunner
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-wh4").toString
+    val noise = (1 to 500).toDF("x").cache()
+    noise.count()
+    // hammer the listener bus with unrelated query completions while the
+    // stage writes: the runner must only trust the event from ITS OWN write
+    @volatile var stop = false
+    val t = new Thread(() => while (!stop) { noise.agg(sum(col("x"))).collect(); Thread.sleep(1) })
+    t.start()
+    try {
+      val r = new StageRunner(spark, wh, verbose = false)
+      val out = r.stage("concurrent", "cfg")((1 to 1234).toDF("v"))
+      assert(out.count() == 1234)
+    } finally { stop = true; t.join() }
+    val Some((_, rows)) = TableIO.readManifest(wh, "concurrent")
+    assert(rows == 1234, s"manifest rows $rows must be the stage's own write metric")
+  }
+
   test("zip packaging sink round-trips the result JSON (S9 parity)") {
     import spark.implicits._
     val df = Seq(("c1", "k1"), ("c2", "k1"), ("c3", "k2")).toDF("conv_id", "component")

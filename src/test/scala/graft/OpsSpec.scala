@@ -139,15 +139,42 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------- Multimodal ----------
 
-  test("multimodal synth is deterministic; decode stub parses headers") {
+  test("multimodal synth is deterministic; images really decode, audio/video headers parse") {
     val a = Multimodal.synth(spark, 50)
     val b = Multimodal.synth(spark, 50)
     assert(a.agg(bit_xor(xxhash64(col("asset_id"), col("bytes")))).first().getLong(0) ==
       b.agg(bit_xor(xxhash64(col("asset_id"), col("bytes")))).first().getLong(0))
-    val d = Multimodal.decodeStub(a).cache()
-    assert(d.where(!col("decoded.ok")).count() == 0, "all fake headers must parse")
+    val d = Multimodal.decode(a).cache()
+    assert(d.where(!col("decoded.ok")).count() == 0, "every payload must decode")
+    // image dims come from the DECODED PNG raster and must match the metadata
     assert(d.where(col("decoded.dec_width") =!= col("width")).count() == 0)
     assert(d.where(col("decoded.dec_frames") =!= col("n_frames")).count() == 0)
+    // pixel access is real: images carry a mean luminance in [0,255], others -1
+    assert(d.where(col("modality") === "image" &&
+      (col("decoded.dec_mean_luma") < 0 || col("decoded.dec_mean_luma") > 255)).count() == 0)
+    assert(d.where(col("modality") =!= "image" && col("decoded.dec_mean_luma") =!= -1).count() == 0)
+    // the header-only stub seam still parses the fake audio/video containers
+    val s = Multimodal.decodeStub(a.where(col("modality") =!= "image")).cache()
+    assert(s.where(!col("decoded.ok")).count() == 0, "all fake headers must parse")
+  }
+
+  test("a hand-built PNG decodes to its exact pixels; corrupt bytes fail soft") {
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000, 0x808080)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, px(y * 3 + x))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val assets = Seq(
+      Multimodal.Asset("good", "image", 3, 2, 0, 1, baos.toByteArray),
+      Multimodal.Asset("corrupt", "image", 3, 2, 0, 1, Array[Byte](1, 2, 3, 4))
+    ).toDF
+    val got = Multimodal.decode(assets).select(col("asset_id"), col("decoded.*"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("good")
+    assert(g.getBoolean(1) && g.getInt(2) == 3 && g.getInt(3) == 2 && g.getInt(4) == 1, g.toString)
+    // per-pixel (r+g+b)/3: 85,85,85,255,0,128 -> sum 638 -> 638/6 = 106
+    assert(g.getInt(5) == 106, s"mean luma ${g.getInt(5)}")
+    assert(!got("corrupt").getBoolean(1), "corrupt payload must yield ok=false, not a task failure")
   }
 
   test("frame sampling explodes video/audio into stride-sampled frames") {
@@ -241,6 +268,27 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(vecsAt(1) == vecsAt(5),
       "sorted single-partition training must make vectors partition-independent")
+  }
+
+  test("distributed Word2Vec training (numPartitions=4) still passes the ANN recall gate") {
+    // vectors may legitimately differ from single-partition training (SGD
+    // order changes); what must NOT degrade is the downstream retrieval:
+    // planted shared-content dups still rank nearest
+    val vocab = (0 until 40).map(i => s"w$i")
+    def toks(seed: Long, n: Int): Seq[String] =
+      (0 until n).map(j => vocab(
+        java.lang.Long.remainderUnsigned(graft.functions.MinHashImpl.mix64(seed + j * 17L), vocab.size).toInt))
+    val base = (0 until 15).map(i => (f"d$i%02d", toks(i * 1000L, 30)))
+    val dups = base.map { case (id, t) => (id + "_dup", t.take(27) ++ toks(id.hashCode.toLong, 3)) }
+    val docs = (base ++ dups).toDF("id", "tokens").repartition(4).cache()
+    val model = DocEmbed.train(docs, dim = 16, iters = 8, numPartitions = 4)
+    val vecs = DocEmbed.docVectors(model, docs).cache()
+    val queries = vecs.where(!col("id").endsWith("_dup"))
+    val top = Ann.bruteForceTopK(queries, vecs, k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val hit = base.count { case (id, _) => top(id) == s"${id}_dup" }
+    info(s"distributed-training nearest-neighbor hit: $hit/15")
+    assert(hit >= 13, s"distributed training must preserve retrieval quality: $hit/15")
   }
 
   test("text -> Word2Vec -> IVF end-to-end recall vs brute force") {

@@ -56,4 +56,42 @@ class StreamingSpec extends AnyFunSuite {
     val clusters = IncrementalDedup.clusterNow(spark, stores)
     assert(clusters.count() == transcripts.select("conv_id").distinct().count())
   }
+
+  test("per-batch shuffle volume stays ~flat while the stores grow (scheme-qualified paths)") {
+    val scfg = Synth.Config(nClusters = 160, boilerClusters = 1, boilerSize = 8)
+    val cfg = Dedup.Config()
+    val transcripts = Synth.transcripts(spark, scfg).toDF
+      .withColumn("part", pmod(xxhash64(col("conv_id")), lit(8)))
+      .cache()
+    transcripts.count()
+
+    // stores addressed through the Hadoop FileSystem API with an explicit
+    // scheme — the warehouse-filesystem abstraction the checkpoint layer
+    // claims (hdfs://-shaped paths resolve the same way)
+    val tmp = Files.createTempDirectory("graft-stream-flat").toString
+    val stores = IncrementalDedup.Stores(s"file:$tmp/sigs", s"file:$tmp/pairs")
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          shuffleBytes.addAndGet(te.taskMetrics.shuffleReadMetrics.totalBytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val perBatch = (0 until 8).map { b =>
+      val batch = transcripts.where(col("part") === b).drop("part")
+      shuffleBytes.set(0)
+      IncrementalDedup.processBatch(spark, batch, stores, cfg)
+      Thread.sleep(300) // listener bus drains async
+      shuffleBytes.get()
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    info(s"per-batch shuffle-read bytes: ${perBatch.mkString(", ")}")
+    // batch 2 already joins a store; by batch 8 the store is ~4x larger —
+    // shuffle volume must NOT track store size (flat within noise + floor)
+    val early = perBatch(2)
+    val late = perBatch.last
+    assert(late <= math.max(3 * early, early + (5L << 20)),
+      s"late-batch shuffle ($late) must not grow with the store (early $early)")
+  }
 }
