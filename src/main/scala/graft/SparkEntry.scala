@@ -448,12 +448,10 @@ object SparkEntry {
     // ---- trained doc embeddings (M8 doc2vec analogue) -> exact top-k
     // neighbors (M9 pair features): Word2Vec trains on a sorted single
     // partition, so vectors — and this output — are reproducible at any
-    // parallelism (OpsSpec pins it); golden oracle
+    // parallelism (OpsSpec pins it). Oracle: DuckDB re-executes the ENTIRE
+    // top-k retrieval over the pinned trained vectors (golden/a05_doc_vectors)
     "a05_doc2vec_topk" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .select($"doc_id".cast("string").as("id"), split($"text", " ").as("tokens"))
-      val vecs = graft.ops.DocEmbed.docVectors(
-        graft.ops.DocEmbed.train(docs, dim = 16, iters = 3), docs)
+      val vecs = a05Vectors(s, d)
       val queries = vecs.where($"id".cast("long") % 25 === 0)
       graft.ops.Ann.bruteForceTopK(queries, vecs, k = 3)
         .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"), $"rank")
@@ -469,6 +467,15 @@ object SparkEntry {
     })
   )
 
+  /** The trained-embedding frame behind a05: factored out so MakeGolden can
+    * pin the exact vectors DuckDB's cross-engine top-k oracle retrieves over.
+    */
+  def a05Vectors(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id").cast("string").as("id"), split(col("text"), " ").as("tokens"))
+    graft.ops.DocEmbed.docVectors(graft.ops.DocEmbed.train(docs, dim = 16, iters = 3), docs)
+  }
+
   /** Queries whose semantics DuckDB cannot re-express in ANSI SQL (custom
     * hash expressions, LSH candidate generation, the full pipeline,
     * Java-regex segmentation). Each is deterministic at any parallelism, so
@@ -477,6 +484,18 @@ object SparkEntry {
     * scale) that DuckDB reads via read_parquet() — a hard value-level check,
     * with operator correctness established independently in the sbt specs
     * (recall vs brute force, reimplementation cross-checks).
+    *
+    * The embedding queries (a02/a03/a04/a05) go further than a snapshot:
+    * their oracle SQL recomputes every emitted cosine FROM THE BASE TABLES
+    * with DuckDB's own arithmetic (bit-identical to Spark's — both are
+    * strict left-fold double sums over the same arrays), re-derives ranks,
+    * and enforces the semantic invariants (threshold containment for a03,
+    * the query-id selector and k for the top-k queries; a05 re-executes the
+    * ENTIRE brute-force retrieval over the pinned trained vectors). The
+    * golden file contributes only the approximate ops' candidate pair sets
+    * — whose recall the sbt specs gate against brute force — so a value or
+    * ordering bug in the Spark path can no longer hide behind its own
+    * snapshot.
     */
   val goldenQueries: Seq[String] = Seq(
     "a02_ann_lsh",
@@ -500,7 +519,63 @@ object SparkEntry {
   private def goldenSql(name: String): String =
     s"SELECT * FROM read_parquet('$goldenDir/$name/*.parquet')"
 
+  /** DuckDB cosine between two float-list columns, matching Ann.cosine's
+    * arithmetic exactly: per-element float->double products, strict
+    * left-fold double sums, double sqrt/divide — verified bit-identical.
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+       |    / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |       SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** Cross-engine oracle for the approximate top-k queries: the golden file
+    * contributes ONLY (query_id, neighbor_id) candidate pairs; cosines are
+    * recomputed from embeddings.parquet, ranks re-derived from the
+    * recomputed values, and the query-id selector re-enforced — Spark's
+    * emitted values/ordering are checked against independent arithmetic.
+    */
+  private def topKRecomputeSql(name: String, everyNth: Int): String =
+    s"""WITH g AS (SELECT query_id, neighbor_id FROM read_parquet('$goldenDir/$name/*.parquet')),
+       |e AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
+       |re AS (
+       |  SELECT g.query_id, g.neighbor_id,
+       |    ${duckCos("a.embedding", "b.embedding")} AS cos
+       |  FROM g
+       |  JOIN e a ON a.id = g.query_id
+       |  JOIN e b ON b.id = g.neighbor_id
+       |  WHERE CAST(g.query_id AS BIGINT) % $everyNth = 0 AND g.query_id <> g.neighbor_id)
+       |SELECT query_id, neighbor_id, cos,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+       |FROM re""".stripMargin
+
   def oracleSql: Map[String, String] = goldenQueries.map(n => n -> goldenSql(n)).toMap ++ Map(
+    "a02_ann_lsh" -> topKRecomputeSql("a02_ann_lsh", 50),
+    "a04_ann_ivf" -> topKRecomputeSql("a04_ann_ivf", 50),
+    // a03: golden contributes candidate pairs; DuckDB recomputes each cosine
+    // and re-applies the THRESHOLD and ordering invariants — any Spark pair
+    // below 0.30, mis-ordered, or mis-valued loses its oracle row and fails
+    "a03_embedding_neardup" ->
+      s"""WITH g AS (SELECT id1, id2 FROM read_parquet('$goldenDir/a03_embedding_neardup/*.parquet')),
+         |e AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
+         |re AS (
+         |  SELECT g.id1, g.id2,
+         |    ${duckCos("a.embedding", "b.embedding")} AS cos
+         |  FROM g JOIN e a ON a.id = g.id1 JOIN e b ON b.id = g.id2)
+         |SELECT id1, id2, cos FROM re WHERE cos >= 0.30 AND id1 < id2""".stripMargin,
+    // a05: FULL independent re-execution — DuckDB runs the entire brute-force
+    // top-3 retrieval over the pinned trained vectors (no result snapshot
+    // involved; the pin is the model's deterministic output, not the answer)
+    "a05_doc2vec_topk" ->
+      s"""WITH v AS (SELECT id, vec FROM read_parquet('$goldenDir/a05_doc_vectors/*.parquet')),
+         |q AS (SELECT id, vec FROM v WHERE CAST(id AS BIGINT) % 25 = 0),
+         |s AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |    ${duckCos("q.vec", "c.vec")} AS rawcos
+         |  FROM q JOIN v c ON q.id <> c.id)
+         |SELECT query_id, neighbor_id, ROUND(rawcos, 6) AS cos, CAST(rn AS INT) AS rank FROM (
+         |  SELECT query_id, neighbor_id, rawcos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS rn
+         |  FROM s) WHERE rn <= 3""".stripMargin,
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45""".stripMargin,

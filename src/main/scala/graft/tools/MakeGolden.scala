@@ -31,6 +31,11 @@ object MakeGolden {
       SparkEntry.queries(n)(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
       println(f"[golden] $n rewritten (${(System.nanoTime() - t0) / 1e9}%.1f s)")
     }
+    // a05's trained doc vectors: the cross-engine oracle re-executes the whole
+    // top-k retrieval over these in DuckDB, so the MODEL output is the pin
+    SparkEntry.a05Vectors(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/a05_doc_vectors")
+    println("[golden] a05_doc_vectors rewritten")
     spark.stop()
   }
 }
