@@ -457,6 +457,33 @@ object SparkEntry {
         .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"), $"rank")
     }),
 
+    // ---- likelihood-cut refinement over the p01 corpus (G4/G5,
+    // MT_Kruskal.R:101-183 + likelihood.R:30-93): CC blocks re-clustered by
+    // the argmax-likelihood dendrogram cut. Deterministic (sorted in-block
+    // merges over a deterministic pipeline output) -> golden oracle.
+    "g01_block_refine" -> ((s, _) => {
+      val cfg = Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 12)
+      val r = Dedup.run(s, Synth.transcripts(s, cfg).toDF, Dedup.Config())
+      graft.plans.BlockClustering.refine(s, r.clusters.select($"conv_id", $"component"), r.pairs)
+    }),
+
+    // ---- shortest-path graph features over the p01 pair graph (G6/G7/G9,
+    // shortpath.py:44-77 weighted 1/dist; short_path.R:65-85 unweighted
+    // 2/dist), both parameterizations in one long-form frame; sp_feature is
+    // rounded so the value hash is engine-stable. Golden oracle.
+    "g02_shortpath_features" -> ((s, _) => {
+      val cfg = Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 12)
+      val r = Dedup.run(s, Synth.transcripts(s, cfg).toDF, Dedup.Config())
+      val clusters = r.clusters.select($"conv_id", $"component")
+      val weighted = graft.plans.GraphFeatures
+        .shortestPathFeatures(s, clusters, r.pairs, weightCol = "jaccard")
+        .select(lit("weighted").as("mode"), $"id1", $"id2", round($"sp_feature", 6).as("sp_feature"))
+      val unweighted = graft.plans.GraphFeatures
+        .shortestPathFeatures(s, clusters, r.pairs, unweighted = true, featureNumerator = 2.0)
+        .select(lit("unweighted").as("mode"), $"id1", $"id2", round($"sp_feature", 6).as("sp_feature"))
+      weighted.unionByName(unweighted)
+    }),
+
     // ---- multimodal plumbing: synth binary assets -> decode stub -> frame
     // sampling -> per-modality frame counts (rows-only; no external media)
     "m01_multimodal_frames" -> ((s, _) => {
@@ -503,6 +530,8 @@ object SparkEntry {
     "a04_ann_ivf",
     "a05_doc2vec_topk",
     "d06_fingerprints",
+    "g01_block_refine",
+    "g02_shortpath_features",
     "m01_multimodal_frames",
     "p01_dedup_clusters",
     "t02_subword"

@@ -138,21 +138,29 @@ object BlockClustering {
       .as[(String, String, Option[String], Double)]
       .groupByKey(_._1)
       .flatMapGroups { (comp, it) =>
-        val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+        val seen = scala.collection.mutable.HashSet[String]()
         val edges = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
         it.foreach {
-          case (_, a, None, _) => ids.getOrElseUpdate(a, ids.size)
+          case (_, a, None, _) => seen += a
           case (_, a, Some(b), s) =>
-            ids.getOrElseUpdate(a, ids.size); ids.getOrElseUpdate(b, ids.size)
+            seen += a; seen += b
             edges += ((a, b, s))
         }
-        val n = ids.size
+        // canonicalize BEFORE indexing: group iterators arrive in partition
+        // order, so member indices and same-sim merge order would otherwise
+        // vary run to run — sort members lexicographically and edges by
+        // (sim desc, id1, id2) for a labeling that is a pure function of the
+        // block's content (the golden-oracle determinism requirement)
+        val names = seen.toArray.sorted
+        val ids = names.zipWithIndex.toMap
+        val n = names.length
         if (n <= 1 || n > maxBlock || edges.isEmpty) {
-          ids.keysIterator.map(id => (id, comp))
+          names.iterator.map(id => (id, comp))
         } else {
           val e = edges.map { case (a, b, s) => (ids(a), ids(b), s) }.toArray
+            .sortBy { case (i, j, s) => (-s, math.min(i, j), math.max(i, j)) }
           val lab = clusterBlock(n, e)
-          ids.iterator.map { case (id, i) => (id, s"$comp#${lab(i)}") }
+          names.iterator.zipWithIndex.map { case (id, i) => (id, s"$comp#${lab(i)}") }
         }
       }
       .toDF("conv_id", "component")

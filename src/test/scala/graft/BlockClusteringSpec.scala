@@ -59,4 +59,18 @@ class BlockClusteringSpec extends AnyFunSuite {
     assert(m("t1") == m("t2"))
     assert(m("s1") == "s1")
   }
+
+  test("refine labeling is a pure function of block content (partition-independent, tie-robust)") {
+    // every edge shares the SAME sim: merge order among ties is exactly what
+    // partition-order-dependent iteration would scramble
+    val clusters = (1 to 12).map(i => (f"c$i%02d", "B")).toDF("conv_id", "component")
+    val pairs = ((1 to 11).map(i => (f"c$i%02d", f"c${i + 1}%02d", 0.8)) ++
+      Seq(("c01", "c03", 0.8), ("c09", "c11", 0.8))).toDF("id1", "id2", "jaccard")
+    def run(cp: Int, pp: Int): Map[String, String] =
+      BlockClustering.refine(spark, clusters.repartition(cp), pairs.repartition(pp))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val ref = run(1, 1)
+    assert(ref == run(7, 5), "labels must not depend on partitioning")
+    assert(ref == run(3, 2), "labels must not depend on partitioning")
+  }
 }
