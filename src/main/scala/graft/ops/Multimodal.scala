@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for a training-data pipeline: image/audio/video as
   * opaque `binary` payloads with typed metadata. The Spark-side plumbing
   * (schema, partition-friendly batch shapes, per-frame explode, feature
-  * columns) is real and tested, and the IMAGE modality is really decoded:
-  * payloads are genuine PNG files (written by the JDK's javax.imageio at
-  * synth time) and `decode` parses them back to pixels on the executors —
-  * width, height, and a mean-luminance pixel statistic all come from the
-  * decoded raster, not a header convention. Audio/video remain behind the
-  * clearly-marked `decodeStub` fake-container seam (no audio/video codec
-  * ships in the JDK; a JNI ffmpeg per executor drops into the same spot).
+  * columns) is real and tested, and TWO modalities are really decoded:
+  *   - IMAGE payloads are genuine PNG files (written by the JDK's
+  *     javax.imageio at synth time) and `decode` parses them back to pixels
+  *     on the executors — width, height, and a mean-luminance statistic all
+  *     come from the decoded raster, not a header convention;
+  *   - AUDIO payloads are genuine RIFF/WAVE files (16-bit PCM mono) decoded
+  *     through the in-JDK javax.sound.sampled.AudioSystem — sample rate,
+  *     window count, and an RMS-amplitude statistic come from the decoded
+  *     PCM samples.
+  * Video remains behind the clearly-marked `decodeStub` fake-container seam
+  * (no video codec ships in the JDK; a JNI ffmpeg per executor drops into
+  * the same spot).
   */
 object Multimodal {
 
@@ -31,20 +36,37 @@ object Multimodal {
       bytes: Array[Byte]
   )
 
-  /** decode result per asset: real PNG decode for images, fake-container
-    * header parse for audio/video. `dec_mean_luma` is the mean of
-    * (r+g+b)/3 over every decoded pixel (-1 for non-image modalities) —
-    * present specifically so tests and downstream features consume decoded
-    * PIXELS, not just container metadata.
+  /** decode result per asset: real PNG decode for images, real WAV decode
+    * for audio, fake-container header parse for video. `dec_mean_luma` is
+    * the mean of (r+g+b)/3 over every decoded pixel (-1 for non-image
+    * modalities); `dec_sample_rate`/`dec_rms` come from the decoded PCM
+    * stream (-1 for non-audio) — present specifically so tests and
+    * downstream features consume decoded PIXELS/SAMPLES, not just container
+    * metadata.
     */
-  final case class Decoded(ok: Boolean, dec_width: Int, dec_height: Int, dec_frames: Int, dec_mean_luma: Int)
+  final case class Decoded(
+      ok: Boolean,
+      dec_width: Int,
+      dec_height: Int,
+      dec_frames: Int,
+      dec_mean_luma: Int,
+      dec_sample_rate: Int,
+      dec_rms: Int
+  )
+
+  /** Audio window size in PCM samples: `n_frames` for audio counts
+    * 256-sample analysis windows (the unit `sampleFrames` explodes).
+    */
+  val AudioWindow = 256
 
   /** Deterministic synthetic binary corpus: payload bytes are a pure function
     * of (seed, asset), sized per modality, so specs and benches need no
     * external media. IMAGE assets are real PNGs (deterministic RGB raster
-    * encoded through javax.imageio). Audio/video streams begin with a
-    * 16-byte fake container header (magic, width, height, frames) that
-    * decodeStub parses — standing in for a real container format.
+    * encoded through javax.imageio); AUDIO assets are real RIFF/WAVE files
+    * (16-bit PCM mono, deterministic integer sample chain). Video streams
+    * begin with a 16-byte fake container header (magic, width, height,
+    * frames) that decodeStub parses — standing in for a real container
+    * format.
     */
   def synth(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
     import spark.implicits._
@@ -60,13 +82,11 @@ object Multimodal {
         case "audio" => 8
         case _       => 1
       }
-      val bytes =
-        if (modality == "image") pngBytes(w, h, mix)
-        else {
-          val bodyLen = modality match {
-            case "audio" => 256 * frames
-            case _       => w * h * frames / 8 // video
-          }
+      val bytes = modality match {
+        case "image" => pngBytes(w, h, mix)
+        case "audio" => wavBytes(frames * AudioWindow, sr, mix)
+        case _ => // video: fake container (the remaining codec-stub seam)
+          val bodyLen = w * h * frames / 8
           val b = new Array[Byte](16 + bodyLen)
           // fake header: magic 'G','R', width, height, frames (little-endian u16)
           b(0) = 'G'; b(1) = 'R'
@@ -81,7 +101,7 @@ object Multimodal {
             j += 1
           }
           b
-        }
+      }
       Asset(s"asset$i", modality, w, h, sr, frames, bytes)
     }.toDF
   }
@@ -107,24 +127,63 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** A real WAV: canonical 44-byte RIFF/WAVE header + 16-bit PCM mono
+    * little-endian samples from a deterministic integer chain (a sawtooth
+    * carrier plus hash noise — integer-only so the bytes are bit-identical
+    * on any JVM). Decodable by any WAV reader, including the in-JDK
+    * javax.sound.sampled.AudioSystem that `decode` uses.
+    */
+  def wavBytes(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val b = new Array[Byte](44 + dataLen)
+    def putU32(off: Int, v: Long): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putU16(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putTag(off: Int, t: String): Unit = t.zipWithIndex.foreach { case (c, i) => b(off + i) = c.toByte }
+    putTag(0, "RIFF"); putU32(4, 36L + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putU32(16, 16L); putU16(20, 1 /* PCM */); putU16(22, 1 /* mono */)
+    putU32(24, sampleRate.toLong); putU32(28, sampleRate.toLong * 2); putU16(32, 2); putU16(34, 16)
+    putTag(36, "data"); putU32(40, dataLen.toLong)
+    var s = seed
+    val period = 64 + (math.abs(seed) % 192).toInt // per-asset sawtooth pitch
+    var i = 0
+    while (i < nSamples) {
+      s = graft.functions.MinHashImpl.mix64(s)
+      val saw = ((i % period) * 16384 / period) - 8192
+      val noise = ((s & 0xfff).toInt - 2048)
+      val sample = saw + noise
+      putU16(44 + i * 2, sample & 0xffff)
+      i += 1
+    }
+    b
+  }
+
   /** Decode every asset on the executors: images through a REAL PNG/BMP/...
     * decode (javax.imageio reads the actual bitstream; any format the JDK
-    * registry knows works), audio/video through the fake-container header
-    * parse (the codec stub seam). A corrupt or unreadable payload yields
-    * ok=false rather than a task failure — at corpus scale a bad file must
-    * never kill the job. Typed Dataset map: codec work is per-row imperative
-    * JVM code, the documented (d)-tier escape hatch.
+    * registry knows works), audio through a REAL WAV decode
+    * (javax.sound.sampled.AudioSystem parses the RIFF structure and yields
+    * PCM frames; sample rate and RMS amplitude come from the decoded
+    * stream), video through the fake-container header parse (the codec stub
+    * seam). A corrupt or unreadable payload yields ok=false rather than a
+    * task failure — at corpus scale a bad file must never kill the job.
+    * Typed Dataset map: codec work is per-row imperative JVM code, the
+    * documented (d)-tier escape hatch.
     */
   def decode(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val bad = Decoded(ok = false, -1, -1, 0, -1, -1, -1)
     df.as[Asset].map { a =>
-      val d =
-        if (a.modality == "image") {
+      val d = a.modality match {
+        case "image" =>
           val img =
             try ImageIO.read(new ByteArrayInputStream(a.bytes))
             catch { case _: Exception => null }
-          if (img == null) Decoded(ok = false, -1, -1, 0, -1)
+          if (img == null) bad
           else {
             var sum = 0L
             var y = 0
@@ -138,53 +197,84 @@ object Multimodal {
               y += 1
             }
             Decoded(ok = true, img.getWidth, img.getHeight, 1,
-              (sum / math.max(1, img.getWidth.toLong * img.getHeight)).toInt)
+              (sum / math.max(1, img.getWidth.toLong * img.getHeight)).toInt, -1, -1)
           }
-        } else {
+        case "audio" =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new ByteArrayInputStream(a.bytes))
+            val fmt = ais.getFormat
+            val pcm = ais.readAllBytes()
+            ais.close()
+            val n = pcm.length / 2 // 16-bit mono samples
+            var sumSq = 0L
+            var i = 0
+            while (i < n) {
+              // little-endian signed 16-bit
+              val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+              sumSq += s.toLong * s
+              i += 1
+            }
+            val rms = math.sqrt(sumSq.toDouble / math.max(1, n)).toInt
+            Decoded(ok = true, -1, -1, n / AudioWindow, -1, fmt.getSampleRate.toInt, rms)
+          } catch { case _: Exception => bad }
+        case _ => // video: header-only fake-container parse (stub seam)
           val b = a.bytes
           val ok = b.length >= 16 && b(0) == 'G' && b(1) == 'R'
           def u16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-          if (ok) Decoded(ok = true, u16(2), u16(4), u16(6), -1)
-          else Decoded(ok = false, -1, -1, 0, -1)
-        }
+          if (ok) Decoded(ok = true, u16(2), u16(4), u16(6), -1, -1, -1)
+          else bad
+      }
       (a, d)
     }.select($"_1.*", $"_2".as("decoded"))
   }
 
-  /** STUB DECODE — kept as the audio/video codec seam (header-only parse of
-    * the fake container, pure built-ins). Image assets go through the REAL
-    * decoder in `decode`; this remains for callers that only need container
-    * metadata without touching pixel data.
+  /** STUB DECODE — header-only parse with pure built-ins, kept for callers
+    * that only need container metadata without touching sample/pixel data.
+    * Parses BOTH container formats the corpus carries: the fake 'GR' video
+    * container AND the real RIFF/WAVE audio header (window count =
+    * data-chunk bytes / (2 * AudioWindow) for canonical 44-byte-header
+    * PCM). Image/audio assets have REAL decoders in `decode`.
     */
   def decodeStub(df: DataFrame): DataFrame = {
-    val hdrOk = expr("substring(bytes, 1, 2) = X'4752'") // 'G','R'
+    val grOk = expr("substring(bytes, 1, 2) = X'4752'") // 'G','R'
+    val riffOk = expr("substring(bytes, 1, 4) = X'52494646'") // 'R','I','F','F'
     def u16(off: Int) = // little-endian u16 from the binary column
       (expr(s"ascii(substring(bytes, ${off + 1}, 1))") +
         expr(s"ascii(substring(bytes, ${off + 2}, 1))") * 256).cast("int")
+    def u32(off: Int) = (u16(off) + u16(off + 2) * lit(65536)).cast("long")
     df.withColumn(
       "decoded",
       struct(
-        hdrOk.as("ok"),
-        u16(2).as("dec_width"),
-        u16(4).as("dec_height"),
-        u16(6).as("dec_frames")
+        (grOk || riffOk).as("ok"),
+        when(grOk, u16(2)).otherwise(lit(-1)).as("dec_width"),
+        when(grOk, u16(4)).otherwise(lit(-1)).as("dec_height"),
+        when(grOk, u16(6))
+          .when(riffOk, (u32(40) / (2 * AudioWindow)).cast("int"))
+          .otherwise(lit(0))
+          .as("dec_frames")
       )
     )
   }
 
   /** Frame sampling for video/audio payloads: explode (asset_id, frame_idx,
     * frame_bytes) taking every `stride`-th frame — the batch shape a
-    * downstream vision/audio encoder consumes. Image assets contribute their
-    * whole (really-decoded) payload as frame 0; audio/video slice the fake
-    * container body with substring arithmetic on the binary column.
+    * downstream vision/audio encoder consumes. Image assets contribute
+    * their whole (really-decoded) payload as frame 0; audio slices
+    * 256-sample (512-byte) PCM windows past the 44-byte canonical WAV
+    * header; video slices the fake container body. All slicing is substring
+    * arithmetic on the binary column — no payload copy amplification.
     */
   def sampleFrames(df: DataFrame, stride: Int = 2): DataFrame = {
     val d = decode(df)
     val frames = d
-      .withColumn("hdr_len", when(col("modality") === "image", lit(0)).otherwise(lit(16)))
+      .withColumn("hdr_len",
+        when(col("modality") === "image", lit(0))
+          .when(col("modality") === "audio", lit(44))
+          .otherwise(lit(16)))
       .withColumn("frame_size",
         when(col("modality") === "video", (length(col("bytes")) - 16) / col("decoded.dec_frames"))
-          .when(col("modality") === "audio", lit(256))
+          .when(col("modality") === "audio", lit(2 * AudioWindow))
           .otherwise(length(col("bytes"))))
     frames
       .withColumn(

@@ -139,7 +139,7 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------- Multimodal ----------
 
-  test("multimodal synth is deterministic; images really decode, audio/video headers parse") {
+  test("multimodal synth is deterministic; images and audio really decode, video headers parse") {
     val a = Multimodal.synth(spark, 50)
     val b = Multimodal.synth(spark, 50)
     assert(a.agg(bit_xor(xxhash64(col("asset_id"), col("bytes")))).first().getLong(0) ==
@@ -147,15 +147,43 @@ class OpsSpec extends AnyFunSuite {
     val d = Multimodal.decode(a).cache()
     assert(d.where(!col("decoded.ok")).count() == 0, "every payload must decode")
     // image dims come from the DECODED PNG raster and must match the metadata
-    assert(d.where(col("decoded.dec_width") =!= col("width")).count() == 0)
+    assert(d.where(col("modality") =!= "audio" && col("decoded.dec_width") =!= col("width")).count() == 0)
     assert(d.where(col("decoded.dec_frames") =!= col("n_frames")).count() == 0)
     // pixel access is real: images carry a mean luminance in [0,255], others -1
     assert(d.where(col("modality") === "image" &&
       (col("decoded.dec_mean_luma") < 0 || col("decoded.dec_mean_luma") > 255)).count() == 0)
     assert(d.where(col("modality") =!= "image" && col("decoded.dec_mean_luma") =!= -1).count() == 0)
-    // the header-only stub seam still parses the fake audio/video containers
+    // PCM access is real: AudioSystem reads the RIFF stream — the decoded
+    // sample rate matches the metadata and the signal carries energy
+    assert(d.where(col("modality") === "audio" &&
+      col("decoded.dec_sample_rate") =!= col("sample_rate")).count() == 0)
+    assert(d.where(col("modality") === "audio" && col("decoded.dec_rms") <= 0).count() == 0)
+    assert(d.where(col("modality") =!= "audio" && col("decoded.dec_sample_rate") =!= -1).count() == 0)
+    // the header-only stub seam parses BOTH containers (fake 'GR' video and
+    // real RIFF audio) with pure built-ins, agreeing on window counts
     val s = Multimodal.decodeStub(a.where(col("modality") =!= "image")).cache()
-    assert(s.where(!col("decoded.ok")).count() == 0, "all fake headers must parse")
+    assert(s.where(!col("decoded.ok")).count() == 0, "all headers must parse")
+    assert(s.where(col("decoded.dec_frames") =!= col("n_frames")).count() == 0)
+  }
+
+  test("a hand-built WAV decodes to its exact samples; corrupt bytes fail soft") {
+    // 512 constant-amplitude samples (A=1000) -> RMS exactly 1000, 2 windows
+    val wav = Multimodal.wavBytes(512, 8000, 7L)
+    java.util.Arrays.fill(wav, 44, wav.length, 0.toByte)
+    var i = 0
+    while (i < 512) { wav(44 + 2 * i) = (1000 & 0xff).toByte; wav(45 + 2 * i) = (1000 >> 8).toByte; i += 1 }
+    val assets = Seq(
+      Multimodal.Asset("good", "audio", 0, 0, 8000, 2, wav),
+      Multimodal.Asset("corrupt", "audio", 0, 0, 8000, 2, Array[Byte](9, 9, 9, 9))
+    ).toDF
+    val got = Multimodal.decode(assets).select(col("asset_id"), col("decoded.*"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("good")
+    assert(g.getBoolean(1), "real WAV must decode")
+    assert(g.getInt(4) == 2, s"windows ${g.getInt(4)}")
+    assert(g.getInt(6) == 8000, s"sample rate ${g.getInt(6)}")
+    assert(g.getInt(7) == 1000, s"rms ${g.getInt(7)}")
+    assert(!got("corrupt").getBoolean(1), "corrupt payload must yield ok=false, not a task failure")
   }
 
   test("a hand-built PNG decodes to its exact pixels; corrupt bytes fail soft") {
