@@ -10,18 +10,23 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for a training-data pipeline: image/audio/video as
   * opaque `binary` payloads with typed metadata. The Spark-side plumbing
   * (schema, partition-friendly batch shapes, per-frame explode, feature
-  * columns) is real and tested, and TWO modalities are really decoded:
-  *   - IMAGE payloads are genuine PNG files (written by the JDK's
-  *     javax.imageio at synth time) and `decode` parses them back to pixels
-  *     on the executors — width, height, and a mean-luminance statistic all
-  *     come from the decoded raster, not a header convention;
+  * columns) is real and tested, and ALL THREE modalities decode real media
+  * with in-JDK codecs — no external jars:
+  *   - IMAGE payloads are genuine PNG files (written by javax.imageio at
+  *     synth time) and `decode` parses them back to pixels on the
+  *     executors — width, height, and a mean-luminance statistic all come
+  *     from the decoded raster, not a header convention;
   *   - AUDIO payloads are genuine RIFF/WAVE files (16-bit PCM mono) decoded
-  *     through the in-JDK javax.sound.sampled.AudioSystem — sample rate,
-  *     window count, and an RMS-amplitude statistic come from the decoded
-  *     PCM samples.
-  * Video remains behind the clearly-marked `decodeStub` fake-container seam
-  * (no video codec ships in the JDK; a JNI ffmpeg per executor drops into
-  * the same spot).
+  *     through javax.sound.sampled.AudioSystem — sample rate, window count,
+  *     and an RMS-amplitude statistic come from the decoded PCM samples;
+  *   - VIDEO payloads are genuine multi-frame animated GIF containers
+  *     decoded frame-by-frame through the ImageIO GIF reader — frame count,
+  *     dimensions, and per-frame pixel statistics come from the decoded
+  *     rasters, and `sampleFrames` re-encodes every sampled frame as a
+  *     standalone PNG (the batch shape a vision encoder consumes).
+  * `decodeStub` remains as the header-only metadata seam (pure built-ins,
+  * no row-level JVM code) for callers that must not touch payload bodies —
+  * and as the drop-in spot for a JNI ffmpeg when richer codecs are needed.
   */
 object Multimodal {
 
@@ -63,10 +68,9 @@ object Multimodal {
     * of (seed, asset), sized per modality, so specs and benches need no
     * external media. IMAGE assets are real PNGs (deterministic RGB raster
     * encoded through javax.imageio); AUDIO assets are real RIFF/WAVE files
-    * (16-bit PCM mono, deterministic integer sample chain). Video streams
-    * begin with a 16-byte fake container header (magic, width, height,
-    * frames) that decodeStub parses — standing in for a real container
-    * format.
+    * (16-bit PCM mono, deterministic integer sample chain); VIDEO assets
+    * are real animated GIFs (deterministic indexed-color frame sequence
+    * through the ImageIO GIF writer).
     */
   def synth(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
     import spark.implicits._
@@ -85,22 +89,7 @@ object Multimodal {
       val bytes = modality match {
         case "image" => pngBytes(w, h, mix)
         case "audio" => wavBytes(frames * AudioWindow, sr, mix)
-        case _ => // video: fake container (the remaining codec-stub seam)
-          val bodyLen = w * h * frames / 8
-          val b = new Array[Byte](16 + bodyLen)
-          // fake header: magic 'G','R', width, height, frames (little-endian u16)
-          b(0) = 'G'; b(1) = 'R'
-          b(2) = (w & 0xff).toByte; b(3) = ((w >> 8) & 0xff).toByte
-          b(4) = (h & 0xff).toByte; b(5) = ((h >> 8) & 0xff).toByte
-          b(6) = (frames & 0xff).toByte; b(7) = ((frames >> 8) & 0xff).toByte
-          var j = 16
-          var s = mix
-          while (j < b.length) {
-            s = graft.functions.MinHashImpl.mix64(s)
-            b(j) = (s & 0xff).toByte
-            j += 1
-          }
-          b
+        case _       => gifBytes(w, h, frames, mix)
       }
       Asset(s"asset$i", modality, w, h, sr, frames, bytes)
     }.toDF
@@ -162,16 +151,52 @@ object Multimodal {
     b
   }
 
+  /** A real multi-frame animated GIF: deterministic indexed-color rasters
+    * (TYPE_BYTE_INDEXED's default palette keeps the writer's quantization
+    * trivial and reproducible) written through the in-JDK ImageIO GIF
+    * writer's sequence API. Decodable by any GIF reader.
+    */
+  def gifBytes(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var s = seed
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          s = graft.functions.MinHashImpl.mix64(s)
+          raster.setSample(x, y, 0, (s & 0xff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
   /** Decode every asset on the executors: images through a REAL PNG/BMP/...
     * decode (javax.imageio reads the actual bitstream; any format the JDK
     * registry knows works), audio through a REAL WAV decode
     * (javax.sound.sampled.AudioSystem parses the RIFF structure and yields
     * PCM frames; sample rate and RMS amplitude come from the decoded
-    * stream), video through the fake-container header parse (the codec stub
-    * seam). A corrupt or unreadable payload yields ok=false rather than a
-    * task failure — at corpus scale a bad file must never kill the job.
-    * Typed Dataset map: codec work is per-row imperative JVM code, the
-    * documented (d)-tier escape hatch.
+    * stream), video through a REAL animated-GIF decode (the ImageIO GIF
+    * reader walks the frame sequence; dimensions, frame count, and mean
+    * luminance come from the decoded rasters). A corrupt or unreadable
+    * payload yields ok=false rather than a task failure — at corpus scale a
+    * bad file must never kill the job. Typed Dataset map: codec work is
+    * per-row imperative JVM code, the documented (d)-tier escape hatch.
     */
   def decode(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -218,26 +243,59 @@ object Multimodal {
             val rms = math.sqrt(sumSq.toDouble / math.max(1, n)).toInt
             Decoded(ok = true, -1, -1, n / AudioWindow, -1, fmt.getSampleRate.toInt, rms)
           } catch { case _: Exception => bad }
-        case _ => // video: header-only fake-container parse (stub seam)
-          val b = a.bytes
-          val ok = b.length >= 16 && b(0) == 'G' && b(1) == 'R'
-          def u16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-          if (ok) Decoded(ok = true, u16(2), u16(4), u16(6), -1, -1, -1)
-          else bad
+        case _ => // video: real animated-GIF decode, frame by frame
+          var iis: javax.imageio.stream.ImageInputStream = null
+          try {
+            iis = ImageIO.createImageInputStream(new ByteArrayInputStream(a.bytes))
+            val readers = ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) bad
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                var sum = 0L
+                var px = 0L
+                var f = 0
+                var w = 0
+                var h = 0
+                while (f < n) {
+                  val img = reader.read(f)
+                  w = math.max(w, img.getWidth)
+                  h = math.max(h, img.getHeight)
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      val rgb = img.getRGB(x, y)
+                      sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  px += img.getWidth.toLong * img.getHeight
+                  f += 1
+                }
+                Decoded(ok = n > 0, w, h, n, (sum / math.max(1L, px)).toInt, -1, -1)
+              } finally reader.dispose()
+            }
+          } catch { case _: Exception => bad }
+          finally if (iis != null) iis.close()
       }
       (a, d)
     }.select($"_1.*", $"_2".as("decoded"))
   }
 
   /** STUB DECODE — header-only parse with pure built-ins, kept for callers
-    * that only need container metadata without touching sample/pixel data.
-    * Parses BOTH container formats the corpus carries: the fake 'GR' video
-    * container AND the real RIFF/WAVE audio header (window count =
-    * data-chunk bytes / (2 * AudioWindow) for canonical 44-byte-header
-    * PCM). Image/audio assets have REAL decoders in `decode`.
+    * that only need container metadata without touching sample/pixel data
+    * (and as the drop-in seam for a richer JNI codec). Parses the real
+    * container headers the corpus carries: RIFF/WAVE audio (window count =
+    * data-chunk bytes / (2 * AudioWindow) for canonical 44-byte-header PCM)
+    * and GIF video (logical-screen dimensions; the frame count is not in
+    * the header, so dec_frames = -1 — full decode lives in `decode`).
     */
   def decodeStub(df: DataFrame): DataFrame = {
-    val grOk = expr("substring(bytes, 1, 2) = X'4752'") // 'G','R'
+    val gifOk = expr("substring(bytes, 1, 4) = X'47494638'") // 'G','I','F','8'
     val riffOk = expr("substring(bytes, 1, 4) = X'52494646'") // 'R','I','F','F'
     def u16(off: Int) = // little-endian u16 from the binary column
       (expr(s"ascii(substring(bytes, ${off + 1}, 1))") +
@@ -246,37 +304,35 @@ object Multimodal {
     df.withColumn(
       "decoded",
       struct(
-        (grOk || riffOk).as("ok"),
-        when(grOk, u16(2)).otherwise(lit(-1)).as("dec_width"),
-        when(grOk, u16(4)).otherwise(lit(-1)).as("dec_height"),
-        when(grOk, u16(6))
-          .when(riffOk, (u32(40) / (2 * AudioWindow)).cast("int"))
-          .otherwise(lit(0))
+        (gifOk || riffOk).as("ok"),
+        when(gifOk, u16(6)).otherwise(lit(-1)).as("dec_width"),
+        when(gifOk, u16(8)).otherwise(lit(-1)).as("dec_height"),
+        when(riffOk, (u32(40) / (2 * AudioWindow)).cast("int"))
+          .otherwise(lit(-1))
           .as("dec_frames")
       )
     )
   }
 
-  /** Frame sampling for video/audio payloads: explode (asset_id, frame_idx,
-    * frame_bytes) taking every `stride`-th frame — the batch shape a
-    * downstream vision/audio encoder consumes. Image assets contribute
-    * their whole (really-decoded) payload as frame 0; audio slices
-    * 256-sample (512-byte) PCM windows past the 44-byte canonical WAV
-    * header; video slices the fake container body. All slicing is substring
-    * arithmetic on the binary column — no payload copy amplification.
+  /** Frame sampling: explode (asset_id, modality, frame_idx, frame_bytes)
+    * taking every `stride`-th frame — the batch shape a downstream
+    * vision/audio encoder consumes. Image assets contribute their whole
+    * (really-decoded) payload as frame 0 and audio assets slice 256-sample
+    * (512-byte) PCM windows past the 44-byte canonical WAV header — both
+    * pure substring arithmetic on the binary column, no payload copy
+    * amplification. Video assets are DECODED (GIF frame walk) and every
+    * sampled frame re-encoded as a standalone PNG — per-frame imperative
+    * codec work in a typed flatMap; a corrupt video contributes no rows
+    * (same fail-soft contract as `decode`).
     */
   def sampleFrames(df: DataFrame, stride: Int = 2): DataFrame = {
-    val d = decode(df)
-    val frames = d
+    val spark = df.sparkSession
+    import spark.implicits._
+    val flat = decode(df.where(col("modality") =!= "video"))
       .withColumn("hdr_len",
-        when(col("modality") === "image", lit(0))
-          .when(col("modality") === "audio", lit(44))
-          .otherwise(lit(16)))
+        when(col("modality") === "image", lit(0)).otherwise(lit(44)))
       .withColumn("frame_size",
-        when(col("modality") === "video", (length(col("bytes")) - 16) / col("decoded.dec_frames"))
-          .when(col("modality") === "audio", lit(2 * AudioWindow))
-          .otherwise(length(col("bytes"))))
-    frames
+        when(col("modality") === "audio", lit(2 * AudioWindow)).otherwise(length(col("bytes"))))
       .withColumn(
         "frame_idx",
         explode(sequence(lit(0), col("decoded.dec_frames") - 1, lit(stride)))
@@ -286,6 +342,28 @@ object Multimodal {
         expr("substring(bytes, hdr_len + 1 + frame_idx * frame_size, frame_size)")
       )
       .select(col("asset_id"), col("modality"), col("frame_idx"), col("frame_bytes"))
+    val video = df.where(col("modality") === "video").as[Asset].flatMap { a =>
+      var iis: javax.imageio.stream.ImageInputStream = null
+      try {
+        iis = ImageIO.createImageInputStream(new ByteArrayInputStream(a.bytes))
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Iterator.empty
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { f =>
+              val baos = new ByteArrayOutputStream()
+              ImageIO.write(reader.read(f), "png", baos)
+              (a.asset_id, a.modality, f, baos.toByteArray)
+            }
+          } finally reader.dispose()
+        }
+      } catch { case _: Exception => Iterator.empty }
+      finally if (iis != null) iis.close()
+    }.toDF("asset_id", "modality", "frame_idx", "frame_bytes")
+    flat.unionByName(video)
   }
 
   /** Per-payload feature extraction that is NOT stubbed: a 16-bin byte-value

@@ -139,31 +139,63 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------- Multimodal ----------
 
-  test("multimodal synth is deterministic; images and audio really decode, video headers parse") {
+  test("multimodal synth is deterministic; all three modalities really decode") {
     val a = Multimodal.synth(spark, 50)
     val b = Multimodal.synth(spark, 50)
     assert(a.agg(bit_xor(xxhash64(col("asset_id"), col("bytes")))).first().getLong(0) ==
       b.agg(bit_xor(xxhash64(col("asset_id"), col("bytes")))).first().getLong(0))
     val d = Multimodal.decode(a).cache()
     assert(d.where(!col("decoded.ok")).count() == 0, "every payload must decode")
-    // image dims come from the DECODED PNG raster and must match the metadata
+    // image/video dims come from DECODED rasters and must match the metadata
     assert(d.where(col("modality") =!= "audio" && col("decoded.dec_width") =!= col("width")).count() == 0)
+    assert(d.where(col("modality") =!= "audio" && col("decoded.dec_height") =!= col("height")).count() == 0)
+    // frame/window counts come from the decoded streams (GIF frame walk,
+    // PCM sample count / 256) and must match the metadata
     assert(d.where(col("decoded.dec_frames") =!= col("n_frames")).count() == 0)
-    // pixel access is real: images carry a mean luminance in [0,255], others -1
-    assert(d.where(col("modality") === "image" &&
+    // pixel access is real: images AND decoded GIF frames carry a mean
+    // luminance in [0,255]; audio has none
+    assert(d.where(col("modality") =!= "audio" &&
       (col("decoded.dec_mean_luma") < 0 || col("decoded.dec_mean_luma") > 255)).count() == 0)
-    assert(d.where(col("modality") =!= "image" && col("decoded.dec_mean_luma") =!= -1).count() == 0)
+    assert(d.where(col("modality") === "audio" && col("decoded.dec_mean_luma") =!= -1).count() == 0)
     // PCM access is real: AudioSystem reads the RIFF stream — the decoded
     // sample rate matches the metadata and the signal carries energy
     assert(d.where(col("modality") === "audio" &&
       col("decoded.dec_sample_rate") =!= col("sample_rate")).count() == 0)
     assert(d.where(col("modality") === "audio" && col("decoded.dec_rms") <= 0).count() == 0)
     assert(d.where(col("modality") =!= "audio" && col("decoded.dec_sample_rate") =!= -1).count() == 0)
-    // the header-only stub seam parses BOTH containers (fake 'GR' video and
-    // real RIFF audio) with pure built-ins, agreeing on window counts
+    // the header-only stub seam parses BOTH real container headers (RIFF
+    // audio, GIF video) with pure built-ins: audio window counts and video
+    // logical-screen dims agree with the metadata; GIF headers carry no
+    // frame count, so the stub honestly reports -1 there
     val s = Multimodal.decodeStub(a.where(col("modality") =!= "image")).cache()
     assert(s.where(!col("decoded.ok")).count() == 0, "all headers must parse")
-    assert(s.where(col("decoded.dec_frames") =!= col("n_frames")).count() == 0)
+    assert(s.where(col("modality") === "audio" && col("decoded.dec_frames") =!= col("n_frames")).count() == 0)
+    assert(s.where(col("modality") === "video" &&
+      (col("decoded.dec_width") =!= col("width") || col("decoded.dec_frames") =!= -1)).count() == 0)
+  }
+
+  test("a hand-built animated GIF decodes to its exact frame sequence; corrupt bytes fail soft") {
+    val gif = Multimodal.gifBytes(5, 4, 3, 99L)
+    val assets = Seq(
+      Multimodal.Asset("good", "video", 5, 4, 0, 3, gif),
+      Multimodal.Asset("corrupt", "video", 5, 4, 0, 3, Array[Byte](3, 1, 4, 1))
+    ).toDF
+    val got = Multimodal.decode(assets).select(col("asset_id"), col("decoded.*"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("good")
+    assert(g.getBoolean(1), "real GIF must decode")
+    assert(g.getInt(2) == 5 && g.getInt(3) == 4, s"dims ${g.getInt(2)}x${g.getInt(3)}")
+    assert(g.getInt(4) == 3, s"frames ${g.getInt(4)}")
+    assert(g.getInt(5) >= 0 && g.getInt(5) <= 255, s"luma ${g.getInt(5)}")
+    assert(!got("corrupt").getBoolean(1), "corrupt payload must yield ok=false, not a task failure")
+    // sampled frames are standalone decodable PNGs of the GIF's frames
+    val frames = Multimodal.sampleFrames(assets, stride = 2).collect()
+    assert(frames.count(_.getString(0) == "good") == 2, "frames 0 and 2 at stride 2")
+    assert(frames.count(_.getString(0) == "corrupt") == 0, "corrupt video contributes no rows")
+    frames.filter(_.getString(0) == "good").foreach { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
+      assert(img != null && img.getWidth == 5 && img.getHeight == 4)
+    }
   }
 
   test("a hand-built WAV decodes to its exact samples; corrupt bytes fail soft") {
