@@ -19,16 +19,12 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "de", "que", "es", "un", "una", "por")
   )
 
-  /** Let-bind `v` once and evaluate `body(v)` against it: the one-element
-    * `transform` acts as a `let`. Catalyst's codegen subexpression
-    * elimination refuses to hoist subtrees that appear under CASE WHEN
-    * branches, so an expression like `tokens(text)` (itself a CASE WHEN)
-    * referenced by several derived metrics is otherwise re-evaluated once
-    * PER REFERENCE — the measured plan for t01 carried ~10 copies of the
-    * full regexp+split tokenizer and ran 6x slower than this shape.
+  /** Let-bind via the shared one-element-`transform` idiom (see
+    * `graft.functions.text.let` for why Catalyst needs this: codegen CSE
+    * refuses CASE WHEN subtrees, and HOF lambdas re-evaluate argument
+    * subtrees per element when interpreted).
     */
-  private def bind(v: Column)(body: Column => Column): Column =
-    element_at(transform(array(v), body), 1)
+  private def bind(v: Column)(body: Column => Column): Column = T.let(v)(body)
 
   /** Per-language stopword hit count over the distinct token set. */
   def stopwordHits(tokens: Column): Map[String, Column] =
