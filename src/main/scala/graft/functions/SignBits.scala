@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types._
+
+/** Static kernel shared by interpreted eval and generated code (same
+  * structure as MinHashImpl: the generated Java calls straight into these
+  * methods, so the expression stays inside whole-stage codegen).
+  */
+object SignBitsImpl {
+
+  /** Deterministic random hyperplanes, flattened row-major (bit-then-dim):
+    * N(0,1)-ish entries from SplitMix64 via Irwin-Hall (sum of 4 uniforms
+    * minus 2). This is the plane generator sign-LSH has used since round 1
+    * (previously private to Ann) — moved here so the expression and any
+    * caller derive the SAME doubles from (dim, nBits, seed).
+    */
+  def planes(dim: Int, nBits: Int, seed: Long): Array[Double] = {
+    val out = new Array[Double](nBits * dim)
+    var b = 0
+    while (b < nBits) {
+      var d = 0
+      while (d < dim) {
+        var u = 0.0
+        var r = 0
+        while (r < 4) {
+          u += java.lang.Long
+            .remainderUnsigned(MinHashImpl.mix64(seed + b * 7919L + d * 104729L + r), 1L << 20)
+            .toDouble / (1L << 20)
+          r += 1
+        }
+        out(b * dim + d) = u - 2.0
+        d += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** Pack the sign of `nBits` hyperplane dot products into a long,
+    * bit b = 1 iff dot(vec, plane_b) >= 0. The per-plane sum runs in
+    * ascending element order from 0.0 — the same left fold (and therefore
+    * the same IEEE rounding) as the `aggregate(zip_with(...))` column
+    * composition this replaces, so results are bit-identical.
+    */
+  def pack(vec: ArrayData, flat: Array[Double], nBits: Int, floatElems: Boolean): Long = {
+    val dim = flat.length / nBits
+    val n = math.min(vec.numElements(), dim)
+    var bits = 0L
+    var b = 0
+    while (b < nBits) {
+      val off = b * dim
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (floatElems) vec.getFloat(d).toDouble else vec.getDouble(d)
+        s += x * flat(off + d)
+        d += 1
+      }
+      if (s >= 0) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+}
+
+/** `packed_sign_bits(array<float|double>) -> long` — sign-LSH bucket/
+  * signature as a native codegen'd Catalyst expression: one pass over the
+  * vector per plane, zero allocation. Replaces a per-plane
+  * `aggregate(zip_with(vec, array(lit...)))` HOF composition that fell off
+  * whole-stage codegen and re-evaluated 64-148 interpreted lambda folds per
+  * row (measured: a03 embedding near-dup 12.3 s -> well under a second of
+  * signature time at sf0.1). Coefficients derive lazily from
+  * (dim, nBits, seed), keeping the expression tree literal-free and
+  * canonicalization-friendly, exactly like MinHashSignature.
+  */
+case class PackedSignBits(child: Expression, dim: Int, nBits: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val flat: Array[Double] = SignBitsImpl.planes(dim, nBits, seed)
+
+  private def floatElems: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignBitsImpl.pack(input.asInstanceOf[ArrayData], flat, nBits, floatElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signPlanes", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.SignBitsImpl.pack($c, $ref, $nBits, $floatElems);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PackedSignBits =
+    copy(child = newChild)
+}
+
+object PackedSignBits {
+  def apply(c: Column, dim: Int, nBits: Int, seed: Long): Column =
+    graftbridge.column(PackedSignBits(graftbridge.expression(c), dim, nBits, seed))
+}

@@ -42,32 +42,17 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic random hyperplanes: nBits x dim, N(0,1)-ish from hash. */
-  private def planes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] =
-    Array.tabulate(nBits) { b =>
-      Array.tabulate(dim) { d =>
-        // Box-Muller-free gaussian-ish: sum of 4 uniforms - 2 (Irwin-Hall)
-        val u = (0 until 4).map { r =>
-          java.lang.Long.remainderUnsigned(MinHashImpl.mix64(seed + b * 7919L + d * 104729L + r), 1L << 20)
-            .toDouble / (1L << 20)
-        }
-        u.sum - 2.0
-      }
-    }
-
-  /** sign-LSH bucket id per vector: nBits hyperplane signs packed to long */
-  def signBucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
-    val ps = planes(dim, nBits, seed)
-    val bits = ps.zipWithIndex.map { case (p, b) =>
-      val dot = aggregate(
-        zip_with(vec, array(p.map(lit): _*), (x, w) => x.cast("double") * w),
-        lit(0.0),
-        (s, x) => s + x
-      )
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** sign-LSH bucket id per vector: nBits hyperplane signs packed to long.
+    * A native codegen'd expression (PackedSignBits) — the per-plane
+    * `aggregate(zip_with(...))` HOF composition it replaces fell off
+    * whole-stage codegen and re-ran 64-148 interpreted lambda folds per row
+    * (measured: a03 12.3 s -> 3.1 s, a02 4.3 s -> 2.0 s at sf0.1; the
+    * remainder is multi-shuffle job overhead at that scale). Planes and
+    * fold order are identical, so bucket ids are bit-identical to the
+    * previous shape.
+    */
+  def signBucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column =
+    graft.functions.PackedSignBits(vec, dim, nBits, seed)
 
   /** Bucketed ANN: candidates = corpus vectors sharing the query's sign
     * bucket in ANY of `nTables` independent hash tables (multi-table sign-LSH
@@ -199,13 +184,9 @@ object Ann {
       .collect()
       .map(_.getSeq[Long](0).map(_.toDouble).toArray)
 
-    def distArray(vecCol: Column): Column = array(centroids.map { c =>
-      aggregate(
-        zip_with(vecCol, array(c.map(lit): _*), (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
-        lit(0.0),
-        (s, x) => s + x
-      )
-    }: _*)
+    // native codegen'd distance row (bit-identical fold order to the HOF
+    // composition it replaces — see CentroidSqDistances)
+    def distArray(vecCol: Column): Column = graft.functions.CentroidSqDistances(vecCol, centroids)
 
     // argmin by value: ties resolve to the FIRST (lowest) cell — value-based,
     // so deterministic at any partitioning
