@@ -490,6 +490,42 @@ object SparkEntry {
       weighted.unionByName(unweighted)
     }),
 
+    // ---- affinity-propagation re-clustering over the p01 corpus (G10,
+    // ap_cluster.R:24-39): per-block Frey-Dueck message passing in place of
+    // the likelihood cut. Deterministic (canonicalized blocks, hash jitter)
+    // -> golden oracle.
+    "g03_ap_cluster" -> ((s, _) => {
+      val cfg = Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 12)
+      val r = Dedup.run(s, Synth.transcripts(s, cfg).toDF, Dedup.Config())
+      graft.plans.AffinityPropagation
+        .cluster(s, r.clusters.select($"conv_id", $"component"), r.pairs)
+    }),
+
+    // ---- duplicate-node splitting + constrained clustering (G11,
+    // MT_Kruskal.R:46-82,101-126): a deterministic hash-picked set of convs
+    // is declared 2-way duplicated; splits must land in distinct
+    // sub-clusters. Golden oracle.
+    "g04_dup_split" -> ((s, _) => {
+      val cfg = Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 12)
+      val r = Dedup.run(s, Synth.transcripts(s, cfg).toDF, Dedup.Config())
+      val clusters = r.clusters.select($"conv_id", $"component")
+      val dups = clusters
+        .where(pmod(xxhash64($"conv_id"), lit(17)) === 0)
+        .select($"conv_id", lit(2).as("n"))
+      graft.plans.BlockClustering.splitDuplicates(s, clusters, r.pairs, dups)
+    }),
+
+    // ---- positional zip-join (J8, MT_Kruskal.R:32-42 / likelihood.R:19-22
+    // row-order cbind, under an EXPLICIT ordering contract): documents by
+    // doc_id asc zipped against a keyless projection ordered doc_id desc;
+    // the oracle re-derives both indexes with row_number()
+    "j01_zip_join" -> ((s, d) => {
+      val left = t(s, d, "documents").select($"doc_id", $"source")
+      val right = t(s, d, "documents")
+        .select($"doc_id".as("rdoc_id"), length($"text").as("text_len"))
+      graft.ops.Align.zipJoin(left, right, Seq($"doc_id"), Seq($"rdoc_id".desc))
+    }),
+
     // ---- multimodal plumbing: synth binary assets -> decode stub -> frame
     // sampling -> per-modality frame counts (rows-only; no external media)
     "m01_multimodal_frames" -> ((s, _) => {
@@ -538,6 +574,8 @@ object SparkEntry {
     "d06_fingerprints",
     "g01_block_refine",
     "g02_shortpath_features",
+    "g03_ap_cluster",
+    "g04_dup_split",
     "m01_multimodal_frames",
     "p01_dedup_clusters",
     "t02_subword"
@@ -611,6 +649,15 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, rawcos,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS rn
          |  FROM s) WHERE rn <= 3""".stripMargin,
+    // j01: full cross-engine re-derivation — DuckDB rebuilds BOTH positional
+    // indexes with row_number() over the same total orders and re-joins
+    "j01_zip_join" ->
+      """WITH l AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn FROM documents),
+        |r AS (SELECT doc_id AS rdoc_id, LENGTH(text) AS text_len,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id DESC) - 1 AS rn FROM documents)
+        |SELECT l.rn AS rn, doc_id, source, rdoc_id, text_len
+        |FROM l JOIN r ON l.rn = r.rn""".stripMargin,
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45""".stripMargin,

@@ -35,11 +35,30 @@ object BlockClustering {
     * low similarity — unobserved cross pairs enter the objective at this
     * pessimistic similarity, which is what makes a weak bridge between two
     * tight sub-cliques cuttable.
+    *
+    * `conflict` (optional, G11): per-member constraint group, -1 for none.
+    * Two members sharing a group may NEVER end up in one sub-cluster — the
+    * reference's constrained Kruskal (MT_Kruskal.R:101-126: a merge is
+    * accepted only if the disambiguation splits still occupy distinct
+    * components). Enforced at merge time, so every dendrogram prefix —
+    * including the likelihood-argmax cut — respects it.
+    *
+    * `greedyGate`: skip negative-ΔL merges at merge time instead of
+    * recording them for the global argmax cut. For the UNCONSTRAINED cut the
+    * global argmax is the better estimator (a locally negative bridge can be
+    * recovered by later gains and the cut sees the whole curve) and stays
+    * the default; under conflict constraints a doomed bridge merge would
+    * CONSUME the constraint budget of a root (replicated split edges carry
+    * identical sims, so tie order alone cannot route the second split around
+    * it) — constrained callers gate greedily, which is exactly the local
+    * accept/reject the reference's Kruskal loop applies per arc.
     */
   def clusterBlock(
       nIds: Int,
       edges: Array[(Int, Int, Double)],
-      missingSim: Double = 0.2
+      missingSim: Double = 0.2,
+      conflict: Array[Int] = null,
+      greedyGate: Boolean = false
   ): Array[Int] = {
     val parent = Array.tabulate(nIds)(identity)
     def find(x: Int): Int = {
@@ -66,11 +85,21 @@ object BlockClustering {
     edges.foreach { case (i, j, s) =>
       simOf.put(math.min(i, j).toLong << 32 | math.max(i, j).toLong, s)
     }
+    // per-root constraint groups (tiny sets; merged small-into-big with the
+    // member lists)
+    val rootGroups: Array[scala.collection.mutable.HashSet[Int]] =
+      if (conflict == null) null
+      else Array.tabulate(nIds) { i =>
+        val s = scala.collection.mutable.HashSet[Int]()
+        if (conflict(i) >= 0) s += conflict(i)
+        s
+      }
 
     sorted.foreach { case (i, j, _) =>
       val ri = find(i)
       val rj = find(j)
-      if (ri != rj) {
+      if (ri != rj && (rootGroups == null ||
+          !rootGroups(ri).exists(rootGroups(rj).contains))) {
         // ΔL of merging components ri, rj = Σ over observed cross pairs of
         // [log(sim) - log(1-sim)]
         var delta = 0.0
@@ -81,11 +110,17 @@ object BlockClustering {
             delta += logit(if (simOf.containsKey(key)) simOf.get(key) else missingSim)
           }
         }
-        merges += ((ri, rj))
-        mergeGain += delta
-        parent(small) = big
-        members(big) ++= members(small)
-        members(small).clear()
+        if (!greedyGate || delta >= 0) {
+          merges += ((ri, rj))
+          mergeGain += delta
+          parent(small) = big
+          members(big) ++= members(small)
+          members(small).clear()
+          if (rootGroups != null) {
+            rootGroups(big) ++= rootGroups(small)
+            rootGroups(small).clear()
+          }
+        }
       }
     }
 
@@ -160,6 +195,112 @@ object BlockClustering {
           val e = edges.map { case (a, b, s) => (ids(a), ids(b), s) }.toArray
             .sortBy { case (i, j, s) => (-s, math.min(i, j), math.max(i, j)) }
           val lab = clusterBlock(n, e)
+          names.iterator.zipWithIndex.map { case (id, i) => (id, s"$comp#${lab(i)}") }
+        }
+      }
+      .toDF("conv_id", "component")
+  }
+
+  /** Duplicate-node splitting + constrained clustering (G11,
+    * MT_Kruskal.R:46-82,101-126 + dual_marry.py): a member listed in `dups`
+    * with count n is replaced by splits `<id>_1..<id>_n`; every edge touching
+    * it is replicated across the splits (both endpoints split -> cross
+    * product, the same result as the reference's two sequential replication
+    * passes), zero-similarity edges are added between siblings
+    * (MT_Kruskal.R:71-77), and the per-block likelihood-cut clustering runs
+    * under the hard constraint that siblings never share a sub-cluster.
+    *
+    * `dups` is a disambiguation table — rare ids only — so it broadcasts;
+    * the replication is two broadcast joins + explode (map-side), and the
+    * only shuffle added over `refine` is none: same two keyed joins + one
+    * groupByKey. Output: (conv_id, component) over the SPLIT id namespace,
+    * component = "<block>#<sub>"; blocks over `maxBlock` keep their CC label.
+    */
+  def splitDuplicates(
+      spark: SparkSession,
+      clusters: DataFrame, // (conv_id, component)
+      pairs: DataFrame, // (id1, id2, jaccard)
+      dups: DataFrame, // (conv_id, n)
+      maxBlock: Int = 4096,
+      missingSim: Double = 0.2
+  ): DataFrame = {
+    import spark.implicits._
+    val d = broadcast(dups.select(col("conv_id"), col("n").cast("int").as("n")))
+
+    def splitsOf(idCol: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), coalesce(col("n"), lit(1))),
+        i => concat(idCol, lit("_"), i.cast("string")))
+
+    val members = clusters
+      .join(d, Seq("conv_id"), "left")
+      .select(
+        col("component"),
+        explode(when(col("n").isNotNull, splitsOf(col("conv_id")))
+          .otherwise(array(col("conv_id")))).as("conv_id"),
+        when(col("n").isNotNull, col("conv_id")).as("grp"))
+
+    val e1 = pairs
+      .join(d.withColumnRenamed("conv_id", "id1"), Seq("id1"), "left")
+      .select(
+        explode(when(col("n").isNotNull, splitsOf(col("id1")))
+          .otherwise(array(col("id1")))).as("id1"),
+        col("id2"), col("jaccard"))
+    val e2 = e1
+      .join(d.withColumnRenamed("conv_id", "id2"), Seq("id2"), "left")
+      .select(
+        col("id1"),
+        explode(when(col("n").isNotNull, splitsOf(col("id2")))
+          .otherwise(array(col("id2")))).as("id2"),
+        col("jaccard"))
+    val siblings = dups
+      .select(col("conv_id"), col("n").cast("int").as("n"))
+      .as[(String, Int)]
+      .flatMap { case (id, n) =>
+        for { i <- 1 to n; j <- (i + 1) to n } yield (s"${id}_$i", s"${id}_$j", 0.0)
+      }
+      .toDF("id1", "id2", "jaccard")
+    val allPairs = e2.unionByName(siblings)
+
+    val c1 = members.select(col("conv_id").as("id1"), col("component"))
+    val c2 = members.select(col("conv_id").as("id2"), col("component").as("component2"))
+    val withComp = allPairs
+      .join(c1, "id1")
+      .join(c2, "id2")
+      .where(col("component") === col("component2"))
+      .select(col("component"), col("id1"), col("id2"), col("jaccard"),
+        lit(null).cast("string").as("grp"))
+    val blockRows = members
+      .select(col("component"), col("conv_id"), lit(null).cast("string").as("id2"),
+        lit(0.0).as("jaccard"), col("grp"))
+      .unionByName(withComp.select(col("component"), col("id1").as("conv_id"),
+        col("id2"), col("jaccard"), col("grp")))
+
+    blockRows
+      .as[(String, String, Option[String], Double, Option[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (comp, it) =>
+        val grpOf = scala.collection.mutable.HashMap[String, String]()
+        val seen = scala.collection.mutable.HashSet[String]()
+        val edges = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+        it.foreach {
+          case (_, a, None, _, g) =>
+            seen += a
+            g.foreach(grpOf.update(a, _))
+          case (_, a, Some(b), s, _) =>
+            seen += a; seen += b
+            edges += ((a, b, s))
+        }
+        val names = seen.toArray.sorted
+        val ids = names.zipWithIndex.toMap
+        val n = names.length
+        if (n <= 1 || n > maxBlock || edges.isEmpty) {
+          names.iterator.map(id => (id, comp))
+        } else {
+          val groupIdx = grpOf.values.toArray.distinct.sorted.zipWithIndex.toMap
+          val conflict = names.map(nm => grpOf.get(nm).map(groupIdx).getOrElse(-1))
+          val e = edges.map { case (a, b, s) => (ids(a), ids(b), s) }.toArray
+            .sortBy { case (i, j, s) => (-s, math.min(i, j), math.max(i, j)) }
+          val lab = clusterBlock(n, e, missingSim, conflict, greedyGate = true)
           names.iterator.zipWithIndex.map { case (id, i) => (id, s"$comp#${lab(i)}") }
         }
       }

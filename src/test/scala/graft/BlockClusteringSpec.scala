@@ -73,4 +73,50 @@ class BlockClusteringSpec extends AnyFunSuite {
     assert(ref == run(7, 5), "labels must not depend on partitioning")
     assert(ref == run(3, 2), "labels must not depend on partitioning")
   }
+
+  test("constrained clusterBlock never merges conflict-group siblings (G11)") {
+    // one tight clique; members 0 and 1 are splits of the same duplicated id
+    val edges = (for { i <- 0 until 4; j <- i + 1 until 4 } yield (i, j, 0.95)).toArray
+    val conflict = Array(0, 0, -1, -1)
+    val lab = BlockClustering.clusterBlock(4, edges, conflict = conflict)
+    assert(lab(0) != lab(1), "siblings must stay in distinct sub-clusters")
+    // the unconstrained objective would have merged everything
+    assert(BlockClustering.clusterBlock(4, edges).distinct.length == 1)
+  }
+
+  test("splitDuplicates replicates edges, forces splits apart, keeps others intact") {
+    val clusters = Seq(
+      ("a1", "A"), ("a2", "A"), ("dup", "A"), ("b1", "A"), ("b2", "A")
+    ).toDF("conv_id", "component")
+    // dup is strongly tied to BOTH the a-clique and the b-clique — exactly
+    // the dual-assignment situation MT_Kruskal.R:46-82 splits. Scores are
+    // asymmetric (the realistic classifier case); attachment among splits is
+    // greedy in descending-sim order, as in the reference's Kruskal.
+    val pairs = Seq(
+      ("a1", "a2", 0.95), ("a1", "dup", 0.93), ("a2", "dup", 0.93),
+      ("b1", "b2", 0.95), ("b1", "dup", 0.92), ("b2", "dup", 0.92),
+      ("a1", "b1", 0.1)
+    ).toDF("id1", "id2", "jaccard")
+    val dups = Seq(("dup", 2)).toDF("conv_id", "n")
+    val out = BlockClustering.splitDuplicates(spark, clusters, pairs, dups)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("a1", "a2", "b1", "b2", "dup_1", "dup_2"),
+      "dup must be replaced by its splits")
+    assert(out("dup_1") != out("dup_2"), "splits must land in distinct clusters")
+    assert(out("a1") == out("a2") && out("b1") == out("b2"))
+    assert(out("a1") != out("b1"))
+    val dupSides = Set(out("dup_1"), out("dup_2"))
+    assert(dupSides == Set(out("a1"), out("b1")),
+      "each split must adopt one of the two cliques")
+  }
+
+  test("splitDuplicates labeling is partition-invariant") {
+    val clusters = Seq(("x1", "X"), ("x2", "X"), ("d", "X")).toDF("conv_id", "component")
+    val pairs = Seq(("x1", "d", 0.9), ("x2", "d", 0.9), ("x1", "x2", 0.2)).toDF("id1", "id2", "jaccard")
+    val dups = Seq(("d", 2)).toDF("conv_id", "n")
+    def run(p: Int) = BlockClustering
+      .splitDuplicates(spark, clusters.repartition(p), pairs.repartition(p), dups)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run(1) == run(5))
+  }
 }
