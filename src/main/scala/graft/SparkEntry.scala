@@ -366,6 +366,16 @@ object SparkEntry {
         .select($"doc_id", $"f.minhash0", $"f.simhash".as("simhash"))
     }),
 
+    // ---- exact long-substring duplicates (the bounded suffix-array pass,
+    // SURVEY §7.5 step 5): winnowed anchor positions -> one hash shuffle of
+    // bounded context slices -> in-group LCP extension -> per-pair max.
+    // Deterministic (canonical group order, hash thinning) -> golden oracle;
+    // SubstringDupSpec holds it to a brute-force LCS oracle.
+    "d07_substring_dup" -> ((s, d) => {
+      graft.ops.SubstringDup.sharedSubstrings(
+        t(s, d, "documents").select($"doc_id".cast("string").as("id"), $"text"))
+    }),
+
     // ---- embedding cosine top-k (ANN brute-force baseline; quantized to
     // integer dot products so both engines agree bit-for-bit)
     "e01_cosine_topk" -> ((s, d) => {
@@ -572,6 +582,7 @@ object SparkEntry {
     "a04_ann_ivf",
     "a05_doc2vec_topk",
     "d06_fingerprints",
+    "d07_substring_dup",
     "g01_block_refine",
     "g02_shortpath_features",
     "g03_ap_cluster",

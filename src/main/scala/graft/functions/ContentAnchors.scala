@@ -74,6 +74,70 @@ object ContentAnchorsImpl {
 
   /** finalize raw polynomial hashes so adversarial/low-entropy windows spread */
   private def mix(h: Long): Long = MinHashImpl.mix64(h)
+
+  /** Positioned variant for the LCP-extension substring pass: the same
+    * winnowing selection, but each selected fingerprint keeps the 0-based
+    * start offset of its window, deduplicated to ONE row per anchor hash
+    * (smallest offset) so a downstream explode emits at most one
+    * (doc, anchor) row. Returns array<struct<anchor:long, pos:int>> sorted
+    * by (anchor, pos).
+    */
+  def anchorPositions(s: UTF8String, width: Int, stride: Int): GenericArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n < width) return new GenericArrayData(Array.empty[Any])
+    val m = n - width + 1
+    val hs = new Array[Long](m)
+    var pow = 1L
+    var i = 0
+    while (i < width - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < width) { h = h * B + str.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - str.charAt(i - 1) * pow) * B + str.charAt(i + width - 1)
+      hs(i) = h
+      i += 1
+    }
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    if (m <= stride) {
+      var mnIdx = 0
+      i = 1
+      while (i < m) { if (hs(i) < hs(mnIdx)) mnIdx = i; i += 1 }
+      sel += ((mix(hs(mnIdx)), mnIdx))
+    } else {
+      val deque = new Array[Int](m)
+      var head = 0; var tail = 0
+      var lastIdx = -1
+      i = 0
+      while (i < m) {
+        while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        while (deque(head) <= i - stride) head += 1
+        if (i >= stride - 1 && deque(head) != lastIdx) {
+          lastIdx = deque(head)
+          sel += ((mix(hs(lastIdx)), lastIdx))
+        }
+        i += 1
+      }
+    }
+    // one row per anchor value: smallest offset (identical content, so any
+    // occurrence extends the same match)
+    val sorted = sel.sortBy(identity)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var last = Long.MinValue
+    var first = true
+    sorted.foreach { case (a, p) =>
+      if (first || a != last) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a, p))
+        last = a; first = false
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `content_anchors(string, width, stride) -> array<long>` — content-defined
@@ -101,4 +165,35 @@ case class ContentAnchors(child: Expression, width: Int, stride: Int) extends Un
 object ContentAnchors {
   def apply(c: Column, width: Int, stride: Int): Column =
     graftbridge.column(ContentAnchors(graftbridge.expression(c), width, stride))
+}
+
+/** `anchor_positions(string, width, stride) -> array<struct<anchor,pos>>` —
+  * the positioned winnowing fingerprints feeding the bounded suffix-array
+  * substring pass (`ops/SubstringDup`): same selection as `content_anchors`,
+  * plus each anchor's window offset so matches can be LCP-extended in situ.
+  */
+case class AnchorPositions(child: Expression, width: Int, stride: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("anchor", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ContentAnchorsImpl.anchorPositions(input.asInstanceOf[UTF8String], width, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"${ev.value} = graft.functions.ContentAnchorsImpl.anchorPositions($c, $width, $stride);"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): AnchorPositions =
+    copy(child = newChild)
+}
+
+object AnchorPositions {
+  def apply(c: Column, width: Int, stride: Int): Column =
+    graftbridge.column(AnchorPositions(graftbridge.expression(c), width, stride))
 }

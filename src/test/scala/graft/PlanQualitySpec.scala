@@ -83,6 +83,17 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("substring pass is one keyed shuffle + one aggregation, no cartesian") {
+    val df = SparkEntry.queries("d07_substring_dup")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"d07 must stay keyed:\n${s.take(2000)}")
+    // group-by-anchor shuffle + pair-max aggregation exchange (+ AQE reads);
+    // anything more means the anchors/context computation stopped being
+    // map-side
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 2, s.take(3000))
+  }
+
   test("keyword classification is a single map-side scan (no join, no shuffle before explode)") {
     val df = SparkEntry.queries("q25_keyword_classify")(spark, sf)
     val s = df.queryExecution.executedPlan.toString
