@@ -75,14 +75,21 @@ object ContentAnchorsImpl {
   /** finalize raw polynomial hashes so adversarial/low-entropy windows spread */
   private def mix(h: Long): Long = MinHashImpl.mix64(h)
 
-  /** Positioned variant for the LCP-extension substring pass: the same
-    * winnowing selection, but each selected fingerprint keeps the 0-based
-    * start offset of its window, deduplicated to ONE row per anchor hash
-    * (smallest offset) so a downstream explode emits at most one
-    * (doc, anchor) row. Returns array<struct<anchor:long, pos:int>> sorted
-    * by (anchor, pos).
+  /** Context-carrying variant for the LCP-extension substring pass: the
+    * same winnowing selection, and each selected window carries its BOUNDED
+    * context slice (`maxExtend` chars each side) plus the window's offset
+    * INSIDE that slice. Slicing happens here, in the same UTF-16 char
+    * domain as the rolling hash and the downstream `charAt` extension — a
+    * SQL `substring` would count Unicode code points and misalign the
+    * offsets as soon as a supplementary character (emoji — ubiquitous in
+    * chat transcripts) precedes an anchor. ALL selected occurrences are
+    * kept: a w-gram repeating inside one doc has a different context at
+    * each occurrence, and the occurrence inside a long shared block is the
+    * one whose extension finds it. Returns
+    * array<struct<anchor:long, off:int, ctx:string>> sorted by
+    * (anchor, window offset).
     */
-  def anchorPositions(s: UTF8String, width: Int, stride: Int): GenericArrayData = {
+  def anchorContexts(s: UTF8String, width: Int, stride: Int, maxExtend: Int): GenericArrayData = {
     val str = s.toString
     val n = str.length
     if (n < width) return new GenericArrayData(Array.empty[Any])
@@ -123,20 +130,18 @@ object ContentAnchorsImpl {
         i += 1
       }
     }
-    // one row per anchor value: smallest offset (identical content, so any
-    // occurrence extends the same match)
     val sorted = sel.sortBy(identity)
-    val out = scala.collection.mutable.ArrayBuffer[Any]()
-    var last = Long.MinValue
-    var first = true
-    sorted.foreach { case (a, p) =>
-      if (first || a != last) {
-        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](a, p))
-        last = a; first = false
-      }
+    val out = new Array[Any](sorted.length)
+    i = 0
+    while (i < sorted.length) {
+      val (a, p) = sorted(i)
+      val start = math.max(0, p - maxExtend)
+      val end = math.min(n, p + width + maxExtend)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a, p - start, UTF8String.fromString(str.substring(start, end))))
+      i += 1
     }
-    new GenericArrayData(out.toArray)
+    new GenericArrayData(out)
   }
 }
 
@@ -167,33 +172,37 @@ object ContentAnchors {
     graftbridge.column(ContentAnchors(graftbridge.expression(c), width, stride))
 }
 
-/** `anchor_positions(string, width, stride) -> array<struct<anchor,pos>>` —
-  * the positioned winnowing fingerprints feeding the bounded suffix-array
-  * substring pass (`ops/SubstringDup`): same selection as `content_anchors`,
-  * plus each anchor's window offset so matches can be LCP-extended in situ.
+/** `anchor_contexts(string, width, stride, maxExtend) ->
+  * array<struct<anchor,off,ctx>>` — the winnowing fingerprints feeding the
+  * bounded suffix-array substring pass (`ops/SubstringDup`), each carrying
+  * its bounded context slice and the window's offset inside it (sliced here
+  * in UTF-16 chars, consistent with the downstream `charAt` extension).
   */
-case class AnchorPositions(child: Expression, width: Int, stride: Int) extends UnaryExpression {
+case class AnchorContexts(child: Expression, width: Int, stride: Int, maxExtend: Int)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("anchor", LongType, nullable = false),
-      StructField("pos", IntegerType, nullable = false))),
+      StructField("off", IntegerType, nullable = false),
+      StructField("ctx", StringType, nullable = false))),
     containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    ContentAnchorsImpl.anchorPositions(input.asInstanceOf[UTF8String], width, stride)
+    ContentAnchorsImpl.anchorContexts(input.asInstanceOf[UTF8String], width, stride, maxExtend)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(
       ctx,
       ev,
-      c => s"${ev.value} = graft.functions.ContentAnchorsImpl.anchorPositions($c, $width, $stride);"
+      c =>
+        s"${ev.value} = graft.functions.ContentAnchorsImpl.anchorContexts($c, $width, $stride, $maxExtend);"
     )
 
-  override protected def withNewChildInternal(newChild: Expression): AnchorPositions =
+  override protected def withNewChildInternal(newChild: Expression): AnchorContexts =
     copy(child = newChild)
 }
 
-object AnchorPositions {
-  def apply(c: Column, width: Int, stride: Int): Column =
-    graftbridge.column(AnchorPositions(graftbridge.expression(c), width, stride))
+object AnchorContexts {
+  def apply(c: Column, width: Int, stride: Int, maxExtend: Int): Column =
+    graftbridge.column(AnchorContexts(graftbridge.expression(c), width, stride, maxExtend))
 }

@@ -45,9 +45,12 @@ object SignBitsImpl {
     * bit b = 1 iff dot(vec, plane_b) >= 0. The per-plane sum runs in
     * ascending element order from 0.0 — the same left fold (and therefore
     * the same IEEE rounding) as the `aggregate(zip_with(...))` column
-    * composition this replaces, so results are bit-identical.
+    * composition this replaces, so results are bit-identical. Element
+    * access dispatches on the declared array element type (the HOF shape
+    * cast any numeric to double; reading a long array via getDouble would
+    * silently reinterpret bits).
     */
-  def pack(vec: ArrayData, flat: Array[Double], nBits: Int, floatElems: Boolean): Long = {
+  def pack(vec: ArrayData, flat: Array[Double], nBits: Int, elemType: Int): Long = {
     val dim = flat.length / nBits
     val n = math.min(vec.numElements(), dim)
     var bits = 0L
@@ -57,7 +60,12 @@ object SignBitsImpl {
       var s = 0.0
       var d = 0
       while (d < n) {
-        val x = if (floatElems) vec.getFloat(d).toDouble else vec.getDouble(d)
+        val x = elemType match {
+          case CentroidDistancesImpl.ElemLong   => vec.getLong(d).toDouble
+          case CentroidDistancesImpl.ElemDouble => vec.getDouble(d)
+          case CentroidDistancesImpl.ElemFloat  => vec.getFloat(d).toDouble
+          case _                                => vec.getInt(d).toDouble
+        }
         s += x * flat(off + d)
         d += 1
       }
@@ -76,7 +84,11 @@ object SignBitsImpl {
   * row (measured: a03 embedding near-dup 12.3 s -> well under a second of
   * signature time at sf0.1). Coefficients derive lazily from
   * (dim, nBits, seed), keeping the expression tree literal-free and
-  * canonicalization-friendly, exactly like MinHashSignature.
+  * canonicalization-friendly, exactly like MinHashSignature. NULL input
+  * yields NULL (standard UnaryExpression semantics; the HOF composition it
+  * replaced folded a null vector to bucket 0) — callers' vector columns are
+  * non-null by construction, and a null bucket dropping out of the
+  * candidate equi-join is the safer default anyway.
   */
 case class PackedSignBits(child: Expression, dim: Int, nBits: Int, seed: Long)
     extends UnaryExpression {
@@ -85,17 +97,19 @@ case class PackedSignBits(child: Expression, dim: Int, nBits: Int, seed: Long)
 
   @transient private lazy val flat: Array[Double] = SignBitsImpl.planes(dim, nBits, seed)
 
-  private def floatElems: Boolean = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _                       => false
+  private def elemType: Int = child.dataType match {
+    case ArrayType(LongType, _)   => CentroidDistancesImpl.ElemLong
+    case ArrayType(DoubleType, _) => CentroidDistancesImpl.ElemDouble
+    case ArrayType(FloatType, _)  => CentroidDistancesImpl.ElemFloat
+    case _                        => CentroidDistancesImpl.ElemInt
   }
 
   override def nullSafeEval(input: Any): Any =
-    SignBitsImpl.pack(input.asInstanceOf[ArrayData], flat, nBits, floatElems)
+    SignBitsImpl.pack(input.asInstanceOf[ArrayData], flat, nBits, elemType)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("signPlanes", flat, "double[]")
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.SignBitsImpl.pack($c, $ref, $nBits, $floatElems);")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.SignBitsImpl.pack($c, $ref, $nBits, $elemType);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PackedSignBits =

@@ -52,6 +52,9 @@ object Align {
   ): DataFrame = {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"zipJoin requires disjoint column names; both sides have: ${dup.mkString(", ")}")
+    val clash = (left.columns ++ right.columns).filter(_ == indexCol)
+    require(clash.isEmpty,
+      s"zipJoin index column '$indexCol' already exists in an input; pass a different indexCol")
     withRowIndex(left, leftOrder, indexCol)
       .join(withRowIndex(right, rightOrder, indexCol), Seq(indexCol), "inner")
   }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{AnchorPositions, MinHashImpl}
+import graft.functions.{AnchorContexts, MinHashImpl}
 
 /** Exact long-substring duplicate pass — the bounded distributed
   * suffix-array variant SURVEY §7.5 step 5 prescribes ("sorted w-gram
@@ -15,25 +15,33 @@ import graft.functions.{AnchorPositions, MinHashImpl}
   * A suffix array clusters suffixes by common prefix and reads match
   * lengths off the LCP array; materializing O(total-chars) suffixes of a
   * 100 TB corpus is the part that does not scale. The bounded equivalent:
-  *   1. winnowed anchor positions per doc (codegen'd `anchor_positions`,
-  *      density ~2/stride, one row per distinct anchor hash per doc) — the
-  *      sampled suffix starts;
-  *   2. each anchor row carries a BOUNDED context slice
-  *      (`maxExtend + width + maxExtend` chars around the window) — the
-  *      suffix prefix a real suffix array would compare, truncated;
+  *   1. winnowed anchor occurrences per doc (codegen'd `anchor_contexts`,
+  *      density ~2/stride), each carrying a BOUNDED context slice
+  *      (`maxExtend + width + maxExtend` UTF-16 chars around the window —
+  *      the suffix prefix a real suffix array would compare, truncated;
+  *      slicing and the later extension share the UTF-16 char domain, so
+  *      supplementary characters cannot misalign offsets) — all map-side;
+  *   2. hot anchors (boilerplate w-grams in millions of docs) are thinned
+  *      BEFORE the group shuffle: a partial-aggregated per-anchor count
+  *      (tiny — only anchors over the cap survive the filter) broadcasts
+  *      back and deterministic hash thinning keeps ~`anchorCap` rows per
+  *      oversized anchor, so no reducer ever materializes an unbounded
+  *      group — the same discipline as the LSH bucket caps and the
+  *      incremental store's old-side thinning;
   *   3. one hash shuffle groups equal w-grams (the suffix-array "runs of
-  *      equal prefix"), hot anchors (boilerplate) deterministically thinned
-  *      to `anchorCap` members; within a group, cross-doc pairs verify the
-  *      literal w-gram (rolling-hash collision guard) and LCP-extend left +
-  *      right inside the contexts;
-  *   4. per-pair max over anchors, filtered to `minLen`.
+  *      equal prefix"); within a group (hard-capped again as a belt), cross-
+  *      doc pairs verify the literal w-gram (rolling-hash collision guard)
+  *      and LCP-extend left + right inside the contexts;
+  *   4. per-pair max over anchors and occurrences, filtered to `minLen`.
   *
   * Guarantees: any two docs sharing a substring of length >=
   * `width + stride - 1` share a winnowed anchor inside it (the winnowing
-  * guarantee), so the pair is emitted with `longest_match` >= `width`;
-  * the reported length never exceeds the true longest common substring
-  * (every reported char was compared), and equals it whenever the true
-  * match extends at most `maxExtend` beyond the anchor window on each
+  * guarantee) — and every occurrence of that anchor is kept, so the
+  * occurrence inside the shared block is always among the extended ones
+  * (subject only to hot-anchor thinning, which is logged in the cap
+  * semantics); the reported length never exceeds the true longest common
+  * substring (every reported char was compared), and equals it whenever the
+  * true match extends at most `maxExtend` beyond the anchor window on each
   * side. Shuffle volume is O(anchors x context), NOT O(corpus²) — the
   * 100 TB shape is identical to the LSH candidate pass.
   */
@@ -52,33 +60,35 @@ object SubstringDup {
 
     val anchored = docs
       .select(col("id").cast("string").as("id"), col("text"))
-      .select($"id", $"text", explode(AnchorPositions($"text", width, stride)).as("a"))
-      .select($"id", $"a.anchor".as("anchor"), $"a.pos".as("pos"),
-        greatest($"a.pos" - maxExtend, lit(0)).as("start"), $"text")
-      // bounded context slice + the anchor's offset inside it (substring is
-      // 1-based SQL); everything up to here is map-side codegen
-      .select(
-        $"anchor",
-        $"id",
-        ($"pos" - $"start").cast("int").as("off"),
-        expr(s"substring(text, start + 1, pos - start + ${width + maxExtend})").as("ctx"))
+      .select(col("id"), explode(AnchorContexts(col("text"), width, stride, maxExtend)).as("a"))
+      .select($"a.anchor".as("anchor"), $"id", $"a.off".as("off"), $"a.ctx".as("ctx"))
 
-    anchored
+    // map-side hot-anchor thinning: only oversized anchors survive the
+    // count filter (a handful of boilerplate w-grams), so the join
+    // broadcasts and the expensive group shuffle below never carries an
+    // unbounded group
+    val hot = anchored.groupBy($"anchor").agg(count(lit(1)).as("asz")).where($"asz" > anchorCap)
+    val capped = anchored
+      .join(broadcast(hot), Seq("anchor"), "left")
+      .where($"asz".isNull || pmod(xxhash64($"id", $"anchor", $"off"), $"asz") < anchorCap)
+      .drop("asz")
+
+    capped
       .as[(Long, String, Int, String)]
       .groupByKey(_._1)
       .flatMapGroups { (anchor, it) =>
-        // canonical member order (group iterators arrive in partition order);
-        // anchor_positions emits one row per (doc, anchor), so members are
-        // distinct docs
+        // canonical member order (group iterators arrive in partition
+        // order); the same doc may appear with several occurrences of the
+        // anchor — each has a different context and extension
         val rows = it.toArray.map { case (_, id, off, ctx) => (id, off, ctx) }
           .sortBy(r => (r._1, r._2))
-        // deterministic hot-anchor thinning, same discipline as the LSH
-        // bucket caps: boilerplate anchors keep a hash-chosen subset
+        // hard in-group cap (belt: the hash thinning above keeps ~anchorCap
+        // rows in expectation, not exactly)
         val kept =
-          if (rows.length <= anchorCap) rows
+          if (rows.length <= 2 * anchorCap) rows
           else rows
-            .sortBy(r => (MinHashImpl.mix64(anchor ^ r._1.hashCode.toLong), r._1))
-            .take(anchorCap)
+            .sortBy(r => (MinHashImpl.mix64(anchor ^ r._1.hashCode.toLong) ^ r._2.toLong, r._1))
+            .take(2 * anchorCap)
             .sortBy(r => (r._1, r._2))
         val out = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
         var i = 0
@@ -87,7 +97,7 @@ object SubstringDup {
           var j = i + 1
           while (j < kept.length) {
             val (idb, offb, cb) = kept(j)
-            if (ca.regionMatches(offa, cb, offb, width)) {
+            if (ida != idb && ca.regionMatches(offa, cb, offb, width)) {
               var l = 0
               while (offa - l - 1 >= 0 && offb - l - 1 >= 0 &&
                 ca.charAt(offa - l - 1) == cb.charAt(offb - l - 1)) l += 1

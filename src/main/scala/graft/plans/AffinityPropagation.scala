@@ -1,7 +1,6 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Per-block affinity-propagation clustering — the re-expression of the
   * reference's exploratory AP path (ap_cluster.R:24-39: per-name dense
@@ -190,46 +189,7 @@ object AffinityPropagation {
       missingSim: Double = 0.0,
       damping: Double = 0.9,
       preference: Option[Double] = None
-  ): DataFrame = {
-    import spark.implicits._
-    val c1 = clusters.select(col("conv_id").as("id1"), col("component"))
-    val c2 = clusters.select(col("conv_id").as("id2"), col("component").as("component2"))
-    val withComp = pairs
-      .join(c1, "id1")
-      .join(c2, "id2")
-      .where(col("component") === col("component2"))
-      .select(col("component"), col("id1"), col("id2"), col("jaccard"))
-    val blockRows = clusters
-      .select(col("component"), col("conv_id"), lit(null).cast("string").as("id2"), lit(0.0).as("jaccard"))
-      .unionByName(withComp.select(col("component"), col("id1").as("conv_id"), col("id2"), col("jaccard")))
-
-    blockRows
-      .as[(String, String, Option[String], Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (comp, it) =>
-        val seen = scala.collection.mutable.HashSet[String]()
-        val edges = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
-        it.foreach {
-          case (_, a, None, _) => seen += a
-          case (_, a, Some(b), s) =>
-            seen += a; seen += b
-            edges += ((a, b, s))
-        }
-        // canonicalize members/edges before indexing (same reasoning as
-        // BlockClustering.refine: group iterators arrive in partition order)
-        val names = seen.toArray.sorted
-        val ids = names.zipWithIndex.toMap
-        val n = names.length
-        if (n <= 1 || n > maxBlock || edges.isEmpty) {
-          names.iterator.map(id => (id, comp))
-        } else {
-          val e = edges.map { case (a, b, s) => (ids(a), ids(b), s) }.toArray
-            .sortBy { case (i, j, s) => (-s, math.min(i, j), math.max(i, j)) }
-          val lab = apBlock(n, e, missingSim, damping,
-            preference = preference.orElse(Some(missingSim)))
-          names.iterator.zipWithIndex.map { case (id, i) => (id, s"$comp#${lab(i)}") }
-        }
-      }
-      .toDF("conv_id", "component")
-  }
+  ): DataFrame =
+    BlockClustering.runPerBlock(spark, clusters, pairs, maxBlock)((n, e, _) =>
+      apBlock(n, e, missingSim, damping, preference = preference.orElse(Some(missingSim))))
 }

@@ -143,137 +143,40 @@ object BlockClustering {
     Array.tabulate(nIds)(find2)
   }
 
-  /** Refine a coarse clustering: within each `component` (block), re-cluster
-    * members by likelihood cut over the observed pair sims. Components larger
-    * than `maxBlock` keep their CC assignment (logged upstream; a block that
-    * big means the LSH threshold, not the cut, is the lever). Output:
-    * (conv_id, component) where component = "<block>#<sub>".
+  /** Shared distributed skeleton for every per-block kernel (likelihood-cut
+    * refine, affinity propagation, constrained split): attach both
+    * endpoints' blocks to the pairs with two keyed joins (only within-block
+    * pairs participate — a cross-block pair would double-assign a member),
+    * union member rows (optionally carrying a conflict group in `grp`) with
+    * edge rows, shuffle ONCE on the block key, canonicalize the block
+    * in-memory, and run `kernel(n, edges, conflict)`. Canonicalization —
+    * members sorted lexicographically, edges by (sim desc, i, j) — is what
+    * makes labels a pure function of block content (group iterators arrive
+    * in partition order; the golden-oracle determinism requirement). Blocks
+    * over `maxBlock` keep their block label.
     */
-  def refine(
+  private[plans] def runPerBlock(
       spark: SparkSession,
-      clusters: DataFrame, // (conv_id, component)
+      members: DataFrame, // (conv_id, component[, grp])
       pairs: DataFrame, // (id1, id2, jaccard)
-      maxBlock: Int = 4096
-  ): DataFrame = {
+      maxBlock: Int
+  )(kernel: (Int, Array[(Int, Int, Double)], Array[Int]) => Array[Int]): DataFrame = {
     import spark.implicits._
-    // attach both endpoints' blocks; only within-block pairs refine (pairs
-    // crossing blocks would double-assign a member)
-    val c1 = clusters.select(col("conv_id").as("id1"), col("component"))
-    val c2 = clusters.select(col("conv_id").as("id2"), col("component").as("component2"))
+    val withGrp =
+      if (members.columns.contains("grp")) members
+      else members.withColumn("grp", lit(null).cast("string"))
+    val c1 = withGrp.select(col("conv_id").as("id1"), col("component"))
+    val c2 = withGrp.select(col("conv_id").as("id2"), col("component").as("component2"))
     val withComp = pairs
       .join(c1, "id1")
       .join(c2, "id2")
       .where(col("component") === col("component2"))
-      .select(col("component"), col("id1"), col("id2"), col("jaccard"))
-    val blockRows = clusters
-      .select(col("component"), col("conv_id"), lit(null).cast("string").as("id2"), lit(0.0).as("jaccard"))
-      .unionByName(withComp.select(col("component"), col("id1").as("conv_id"), col("id2"), col("jaccard")))
-
-    blockRows
-      .as[(String, String, Option[String], Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (comp, it) =>
-        val seen = scala.collection.mutable.HashSet[String]()
-        val edges = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
-        it.foreach {
-          case (_, a, None, _) => seen += a
-          case (_, a, Some(b), s) =>
-            seen += a; seen += b
-            edges += ((a, b, s))
-        }
-        // canonicalize BEFORE indexing: group iterators arrive in partition
-        // order, so member indices and same-sim merge order would otherwise
-        // vary run to run — sort members lexicographically and edges by
-        // (sim desc, id1, id2) for a labeling that is a pure function of the
-        // block's content (the golden-oracle determinism requirement)
-        val names = seen.toArray.sorted
-        val ids = names.zipWithIndex.toMap
-        val n = names.length
-        if (n <= 1 || n > maxBlock || edges.isEmpty) {
-          names.iterator.map(id => (id, comp))
-        } else {
-          val e = edges.map { case (a, b, s) => (ids(a), ids(b), s) }.toArray
-            .sortBy { case (i, j, s) => (-s, math.min(i, j), math.max(i, j)) }
-          val lab = clusterBlock(n, e)
-          names.iterator.zipWithIndex.map { case (id, i) => (id, s"$comp#${lab(i)}") }
-        }
-      }
-      .toDF("conv_id", "component")
-  }
-
-  /** Duplicate-node splitting + constrained clustering (G11,
-    * MT_Kruskal.R:46-82,101-126 + dual_marry.py): a member listed in `dups`
-    * with count n is replaced by splits `<id>_1..<id>_n`; every edge touching
-    * it is replicated across the splits (both endpoints split -> cross
-    * product, the same result as the reference's two sequential replication
-    * passes), zero-similarity edges are added between siblings
-    * (MT_Kruskal.R:71-77), and the per-block likelihood-cut clustering runs
-    * under the hard constraint that siblings never share a sub-cluster.
-    *
-    * `dups` is a disambiguation table — rare ids only — so it broadcasts;
-    * the replication is two broadcast joins + explode (map-side), and the
-    * only shuffle added over `refine` is none: same two keyed joins + one
-    * groupByKey. Output: (conv_id, component) over the SPLIT id namespace,
-    * component = "<block>#<sub>"; blocks over `maxBlock` keep their CC label.
-    */
-  def splitDuplicates(
-      spark: SparkSession,
-      clusters: DataFrame, // (conv_id, component)
-      pairs: DataFrame, // (id1, id2, jaccard)
-      dups: DataFrame, // (conv_id, n)
-      maxBlock: Int = 4096,
-      missingSim: Double = 0.2
-  ): DataFrame = {
-    import spark.implicits._
-    val d = broadcast(dups.select(col("conv_id"), col("n").cast("int").as("n")))
-
-    def splitsOf(idCol: org.apache.spark.sql.Column) =
-      transform(sequence(lit(1), coalesce(col("n"), lit(1))),
-        i => concat(idCol, lit("_"), i.cast("string")))
-
-    val members = clusters
-      .join(d, Seq("conv_id"), "left")
-      .select(
-        col("component"),
-        explode(when(col("n").isNotNull, splitsOf(col("conv_id")))
-          .otherwise(array(col("conv_id")))).as("conv_id"),
-        when(col("n").isNotNull, col("conv_id")).as("grp"))
-
-    val e1 = pairs
-      .join(d.withColumnRenamed("conv_id", "id1"), Seq("id1"), "left")
-      .select(
-        explode(when(col("n").isNotNull, splitsOf(col("id1")))
-          .otherwise(array(col("id1")))).as("id1"),
-        col("id2"), col("jaccard"))
-    val e2 = e1
-      .join(d.withColumnRenamed("conv_id", "id2"), Seq("id2"), "left")
-      .select(
-        col("id1"),
-        explode(when(col("n").isNotNull, splitsOf(col("id2")))
-          .otherwise(array(col("id2")))).as("id2"),
-        col("jaccard"))
-    val siblings = dups
-      .select(col("conv_id"), col("n").cast("int").as("n"))
-      .as[(String, Int)]
-      .flatMap { case (id, n) =>
-        for { i <- 1 to n; j <- (i + 1) to n } yield (s"${id}_$i", s"${id}_$j", 0.0)
-      }
-      .toDF("id1", "id2", "jaccard")
-    val allPairs = e2.unionByName(siblings)
-
-    val c1 = members.select(col("conv_id").as("id1"), col("component"))
-    val c2 = members.select(col("conv_id").as("id2"), col("component").as("component2"))
-    val withComp = allPairs
-      .join(c1, "id1")
-      .join(c2, "id2")
-      .where(col("component") === col("component2"))
-      .select(col("component"), col("id1"), col("id2"), col("jaccard"),
+      .select(col("component"), col("id1").as("conv_id"), col("id2"), col("jaccard"),
         lit(null).cast("string").as("grp"))
-    val blockRows = members
+    val blockRows = withGrp
       .select(col("component"), col("conv_id"), lit(null).cast("string").as("id2"),
         lit(0.0).as("jaccard"), col("grp"))
-      .unionByName(withComp.select(col("component"), col("id1").as("conv_id"),
-        col("id2"), col("jaccard"), col("grp")))
+      .unionByName(withComp)
 
     blockRows
       .as[(String, String, Option[String], Double, Option[String])]
@@ -300,10 +203,90 @@ object BlockClustering {
           val conflict = names.map(nm => grpOf.get(nm).map(groupIdx).getOrElse(-1))
           val e = edges.map { case (a, b, s) => (ids(a), ids(b), s) }.toArray
             .sortBy { case (i, j, s) => (-s, math.min(i, j), math.max(i, j)) }
-          val lab = clusterBlock(n, e, missingSim, conflict, greedyGate = true)
+          val lab = kernel(n, e, conflict)
           names.iterator.zipWithIndex.map { case (id, i) => (id, s"$comp#${lab(i)}") }
         }
       }
       .toDF("conv_id", "component")
+  }
+
+  /** Refine a coarse clustering: within each `component` (block), re-cluster
+    * members by likelihood cut over the observed pair sims. Components larger
+    * than `maxBlock` keep their CC assignment (logged upstream; a block that
+    * big means the LSH threshold, not the cut, is the lever). Output:
+    * (conv_id, component) where component = "<block>#<sub>".
+    */
+  def refine(
+      spark: SparkSession,
+      clusters: DataFrame, // (conv_id, component)
+      pairs: DataFrame, // (id1, id2, jaccard)
+      maxBlock: Int = 4096
+  ): DataFrame =
+    runPerBlock(spark, clusters, pairs, maxBlock)((n, e, _) => clusterBlock(n, e))
+
+  /** Duplicate-node splitting + constrained clustering (G11,
+    * MT_Kruskal.R:46-82,101-126 + dual_marry.py): a member listed in `dups`
+    * with count n is replaced by splits `<id>_1..<id>_n`; every edge touching
+    * it is replicated across the splits (both endpoints split -> cross
+    * product, the same result as the reference's two sequential replication
+    * passes), zero-similarity edges are added between siblings
+    * (MT_Kruskal.R:71-77), and the per-block likelihood-cut clustering runs
+    * under the hard constraint that siblings never share a sub-cluster.
+    *
+    * `dups` is a disambiguation table — rare ids only — so it broadcasts;
+    * the replication is two broadcast joins + explode (map-side), and the
+    * only shuffle added over `refine` is none: same two keyed joins + one
+    * groupByKey. Output: (conv_id, component) over the SPLIT id namespace,
+    * component = "<block>#<sub>"; blocks over `maxBlock` keep their CC label.
+    * Rows with n < 2 are ignored (n=1 would only rename the id, n<=0 would
+    * make `sequence` count DOWN and fabricate phantom splits).
+    */
+  def splitDuplicates(
+      spark: SparkSession,
+      clusters: DataFrame, // (conv_id, component)
+      pairs: DataFrame, // (id1, id2, jaccard)
+      dups: DataFrame, // (conv_id, n)
+      maxBlock: Int = 4096,
+      missingSim: Double = 0.2
+  ): DataFrame = {
+    import spark.implicits._
+    val d = broadcast(
+      dups.select(col("conv_id"), col("n").cast("int").as("n")).where(col("n") >= 2))
+
+    def splitsOf(idCol: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), coalesce(col("n"), lit(1))),
+        i => concat(idCol, lit("_"), i.cast("string")))
+
+    val members = clusters
+      .join(d, Seq("conv_id"), "left")
+      .select(
+        col("component"),
+        explode(when(col("n").isNotNull, splitsOf(col("conv_id")))
+          .otherwise(array(col("conv_id")))).as("conv_id"),
+        when(col("n").isNotNull, col("conv_id")).as("grp"))
+
+    val e1 = pairs
+      .join(d.withColumnRenamed("conv_id", "id1"), Seq("id1"), "left")
+      .select(
+        explode(when(col("n").isNotNull, splitsOf(col("id1")))
+          .otherwise(array(col("id1")))).as("id1"),
+        col("id2"), col("jaccard"))
+    val e2 = e1
+      .join(d.withColumnRenamed("conv_id", "id2"), Seq("id2"), "left")
+      .select(
+        col("id1"),
+        explode(when(col("n").isNotNull, splitsOf(col("id2")))
+          .otherwise(array(col("id2")))).as("id2"),
+        col("jaccard"))
+    val siblings = d
+      .as[(String, Int)]
+      .flatMap { case (id, n) =>
+        for { i <- 1 to n; j <- (i + 1) to n } yield (s"${id}_$i", s"${id}_$j", 0.0)
+      }
+      .toDF("id1", "id2", "jaccard")
+    val allPairs = e2.unionByName(siblings)
+
+    runPerBlock(spark, members, allPairs, maxBlock)((n, e, conflict) =>
+      clusterBlock(n, e, missingSim, conflict, greedyGate = true))
   }
 }

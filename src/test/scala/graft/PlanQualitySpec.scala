@@ -88,10 +88,13 @@ class PlanQualitySpec extends AnyFunSuite {
     val s = df.queryExecution.executedPlan.toString
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"d07 must stay keyed:\n${s.take(2000)}")
-    // group-by-anchor shuffle + pair-max aggregation exchange (+ AQE reads);
-    // anything more means the anchors/context computation stopped being
-    // map-side
-    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 2, s.take(3000))
+    // group-by-anchor shuffle + pair-max aggregation exchange + the tiny
+    // partial-aggregated hot-anchor count branch (whose result broadcasts
+    // back); anything more means the anchors/context computation stopped
+    // being map-side
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 3, s.take(3000))
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "hot-anchor thinning must broadcast, not shuffle the anchor stream again")
   }
 
   test("keyword classification is a single map-side scan (no join, no shuffle before explode)") {

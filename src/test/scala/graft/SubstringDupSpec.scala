@@ -95,6 +95,36 @@ class SubstringDupSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  test("supplementary characters (emoji) before a match do not misalign offsets") {
+    // each emoji is 2 UTF-16 units but 1 code point: a code-point-based
+    // context slice would shift the anchor offset and silently miss the match
+    val block = randStr(120)
+    val docs = Seq(
+      ("e1", "😀😀😀" + block + randStr(50)),
+      ("e2", randStr(80) + block + "🚀" + randStr(40))
+    ).toDF("id", "text")
+    val out = SubstringDup.sharedSubstrings(docs, width = 24, stride = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(out.contains(("e1", "e2")), "emoji-prefixed shared block must be found")
+    assert(out(("e1", "e2")) >= 120)
+  }
+
+  test("a w-gram repeating inside one doc still extends at the right occurrence") {
+    // the same 24-gram appears EARLY in d_a (isolated) and again inside the
+    // long block shared with d_b; keeping only the first occurrence would
+    // extend at the isolated site and under-report the match
+    val gram = randStr(24)
+    val block = randStr(40) + gram + randStr(60) // 124-char shared block
+    val docs = Seq(
+      ("r1", gram + randStr(100) + block + randStr(30)),
+      ("r2", randStr(55) + block + randStr(70))
+    ).toDF("id", "text")
+    val out = SubstringDup.sharedSubstrings(docs, width = 24, stride = 16, minLen = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(out.get(("r1", "r2")).exists(_ >= block.length),
+      s"must report the full ${block.length}-char block, got ${out.get(("r1", "r2"))}")
+  }
+
   test("hot boilerplate anchors are capped, pairs stay bounded") {
     val boiler = randStr(80)
     val docs = (0 until 100).map(i => (f"b$i%03d", randStr(60) + boiler + randStr(60)))
