@@ -125,6 +125,38 @@ class SubstringDupSpec extends AnyFunSuite {
       s"must report the full ${block.length}-char block, got ${out.get(("r1", "r2"))}")
   }
 
+  test("property: soundness + guarantee hold on random small-alphabet corpora") {
+    // alphabet of 4 makes accidental w-gram repeats COMMON — the stress case
+    // for multi-occurrence anchors; anchorCap is effectively off so the
+    // winnowing guarantee is tested in its uncapped form
+    val width = 8; val stride = 4
+    (0 until 8).foreach { round =>
+      val r = new scala.util.Random(1000 + round)
+      def rs(n: Int) = (0 until n).map(_ => ('a' + r.nextInt(4)).toChar).mkString
+      val block = rs(30 + r.nextInt(40))
+      val docs = (0 until 8).map { i =>
+        val t = rs(80 + r.nextInt(120))
+        val text =
+          if (i < 4 && r.nextBoolean()) {
+            val p = r.nextInt(t.length)
+            t.substring(0, p) + block + t.substring(p)
+          } else t
+        (s"p$i", text)
+      }
+      val out = SubstringDup
+        .sharedSubstrings(docs.toDF("id", "text"), width, stride,
+          maxExtend = 200, minLen = width, anchorCap = 10000)
+        .collect().map(x => (x.getString(0), x.getString(1)) -> x.getInt(2)).toMap
+      for { (ia, ta) <- docs; (ib, tb) <- docs if ia < ib } {
+        val truth = lcs(ta, tb)
+        if (truth >= width + stride - 1)
+          assert(out.contains((ia, ib)), s"round $round: ($ia,$ib) with LCS $truth undetected")
+        out.get((ia, ib)).foreach(len =>
+          assert(len <= truth, s"round $round ($ia,$ib): reported $len > true LCS $truth"))
+      }
+    }
+  }
+
   test("hot boilerplate anchors are capped, pairs stay bounded") {
     val boiler = randStr(80)
     val docs = (0 until 100).map(i => (f"b$i%03d", randStr(60) + boiler + randStr(60)))
