@@ -23,6 +23,10 @@ object Sessions {
       else b0.master(s"local[$cores]")
     val s = withMaster
       .appName(appName)
+      // SQL names for the custom Catalyst expressions (simhash64,
+      // minhash_signature, content_anchors, ...); cluster users get the same
+      // via --conf spark.sql.extensions=graft.GraftExtensions
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
