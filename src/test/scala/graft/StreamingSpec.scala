@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.{Dedup, Eval}
-import graft.streaming.IncrementalDedup
+import graft.streaming.{EventStreams, IncrementalDedup}
 import graft.synth.Synth
 
 /** Incremental (Structured Streaming, AvailableNow) pipeline equivalence:
@@ -93,5 +93,107 @@ class StreamingSpec extends AnyFunSuite {
     val late = perBatch.last
     assert(late <= math.max(3 * early, early + (5L << 20)),
       s"late-batch shuffle ($late) must not grow with the store (early $early)")
+  }
+
+  // deterministic event corpus for the §2.10 window/state operators:
+  // per-user cumulative random steps (0..60 min) guarantee plenty of
+  // >=30-min session gaps; one far-future sentinel per user closes every
+  // real session in both modes
+  private def eventCorpus(): (Seq[(String, java.sql.Timestamp, String, Long)], Long) = {
+    val r = new scala.util.Random(7)
+    val base = 1700000000000L
+    var maxTs = 0L
+    val rows = (0 until 15).flatMap { u =>
+      var t = base + r.nextInt(600000)
+      (0 until 25).map { e =>
+        t += r.nextInt(3600) * 1000L
+        maxTs = math.max(maxTs, t)
+        (s"u$u", new java.sql.Timestamp(t), if (r.nextBoolean()) "click" else "view", e.toLong)
+      }
+    }
+    (rows, maxTs)
+  }
+
+  test("watermarked sliding-window counts: streaming matches batch on the same input") {
+    import spark.implicits._
+    val (rows, _) = eventCorpus()
+    val df = rows.toDF("user_id", "ts", "event_type", "event_id")
+    val batch = EventStreams.windowedTypeCounts(df)
+      .orderBy("win_start", "event_type").collect().map(_.toString).toSeq
+
+    val tmp = Files.createTempDirectory("graft-winstream").toString
+    df.repartition(6).write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 2).parquet(s"$tmp/in")
+    val q = EventStreams.windowedTypeCounts(stream)
+      .writeStream.format("memory").queryName("win_counts").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_counts")
+      .orderBy("win_start", "event_type").collect().map(_.toString).toSeq
+    assert(streamed == batch, s"stream (${streamed.size} rows) must equal batch (${batch.size})")
+  }
+
+  test("stateful gap sessionization: streaming matches batch, counts match the q23 lag logic") {
+    import spark.implicits._
+    val (rows, maxTs) = eventCorpus()
+    // sentinel events close every real trailing session (their own sessions
+    // stay open past the final watermark in both modes and never emit)
+    val sentinels = rows.map(_._1).distinct.map(u =>
+      (u, new java.sql.Timestamp(maxTs + 3 * 3600 * 1000L), "sentinel", 999L))
+    val df = (rows ++ sentinels).toDF("user_id", "ts", "event_type", "event_id")
+
+    // a LARGE watermark delay keeps the parity run free of late-drops and
+    // timeouts in BOTH modes (micro-batch file order is arbitrary, so a
+    // tight watermark could race ahead of an unprocessed user's events);
+    // the timeout path gets its own deterministic test below
+    val batch = EventStreams.sessionize(df, watermarkDelay = "100 hours").collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events)).toSet
+
+    val tmp = Files.createTempDirectory("graft-sessstream").toString
+    df.repartition(5, col("user_id")).write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = EventStreams.sessionize(stream, watermarkDelay = "100 hours")
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sessions").as[EventStreams.Session].collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events)).toSet
+    assert(streamed == batch,
+      s"stream sessions (${streamed.size}) must equal batch (${batch.size}); " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+
+    // independent correctness pin: per-user closed-session counts must match
+    // the q23 lag/brk formulation over the same (non-sentinel) events
+    val brk = rows.groupBy(_._1).map { case (u, es) =>
+      val ts = es.map(_._2.getTime).sorted
+      u -> (1 + ts.sliding(2).count(w => w.length == 2 && w(1) - w(0) >= 1800 * 1000))
+    }
+    val perUser = batch.groupBy(_._1).map { case (u, ss) => u -> ss.size }
+    assert(perUser == brk, s"session counts must match the lag/brk oracle")
+  }
+
+  test("event-time timeout closes an idle user's trailing session without another event") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val df = Seq(
+      ("idle", new java.sql.Timestamp(t0), "click", 0L),
+      ("idle", new java.sql.Timestamp(t0 + 5 * 60000), "view", 1L),
+      ("other", new java.sql.Timestamp(t0 + 10 * 3600 * 1000L), "click", 2L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val tmp = Files.createTempDirectory("graft-timeout").toString
+    df.coalesce(1).write.parquet(s"$tmp/in") // ONE file = one data batch: the
+    // watermark advances after it, and the engine runs an extra no-data batch
+    // that fires the parked event-time timeout
+    val stream = spark.readStream.schema(df.schema).parquet(s"$tmp/in")
+    val q = EventStreams.sessionize(stream, watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("timeout_sessions").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("timeout_sessions").as[EventStreams.Session].collect()
+      .map(s => (s.user_id, s.n_events)).toSet
+    // "idle" has no later event of its own: only the watermark (driven by
+    // "other") can close its 2-event session — batch execution would emit
+    // NOTHING here, this is the capability q23's window form cannot express
+    assert(got.contains(("idle", 2L)), s"timeout must close the idle session, got $got")
   }
 }
