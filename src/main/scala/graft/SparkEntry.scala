@@ -453,12 +453,59 @@ object SparkEntry {
         )
     }),
 
+    // ---- stateful gap sessionization (§2.10): the SAME
+    // flatMapGroupsWithState transform the streaming path runs, executed in
+    // batch mode. Batch emits exactly the event-closed sessions (a finite
+    // stream's output before its final watermark) — the oracle rebuilds the
+    // sessions in SQL and drops each user's trailing session. Epoch-second
+    // bounds keep the value hash engine-stable.
+    "q26_sessions" -> ((s, d) => {
+      graft.streaming.EventStreams
+        .sessionize(t(s, d, "events"), gapSec = 1800)
+        .select(
+          $"user_id",
+          unix_timestamp($"session_start").as("sess_start"),
+          unix_timestamp($"session_end").as("sess_end"),
+          $"n_events"
+        )
+    }),
+
+    // ---- sliding event-time window counts (§2.10): watermarked
+    // sliding-window aggregation run in batch mode (watermark is a no-op);
+    // every event lands in exactly windowDur/slideDur = 2 windows
+    "q27_sliding_window" -> ((s, d) => {
+      graft.streaming.EventStreams
+        .windowedTypeCounts(t(s, d, "events"))
+        .select(
+          unix_timestamp($"win_start").as("win_start"),
+          unix_timestamp($"win_end").as("win_end"),
+          $"event_type",
+          $"n"
+        )
+    }),
+
     // ---- IVF ANN over embeddings (the billion-scale inverted-list layout;
     // deterministic quantizer -> golden oracle)
     "a04_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings").select($"vec_id".cast("string").as("id"), $"embedding".as("vec"))
       val queries = emb.where($"id".cast("long") % 50 === 0)
       graft.ops.Ann.ivfTopK(queries, emb, k = 3, nCells = 16, nProbe = 4)
+    }),
+
+    // ---- persisted IVF index (S10 model-sink shape for ANN): build -> save
+    // (lists partitioned by cell) -> load -> probe with partition pruning.
+    // Same params as a04, so the oracle re-derives the identical answer from
+    // embeddings.parquet via the a04 candidate pair set — save/load must be
+    // value-exact to pass
+    "a06_ann_ivf_persisted" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select($"vec_id".cast("string").as("id"), $"embedding".as("vec"))
+      val queries = emb.where($"id".cast("long") % 50 === 0)
+      val idxPath = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-ivf-${java.lang.Integer.toHexString(d.hashCode)}"
+      ).getAbsolutePath
+      graft.ops.IvfIndex.save(s, graft.ops.IvfIndex.build(emb, nCells = 16), idxPath)
+      graft.ops.IvfIndex.topK(queries, graft.ops.IvfIndex.load(s, idxPath), k = 3, nProbe = 4)
     }),
 
     // ---- trained doc embeddings (M8 doc2vec analogue) -> exact top-k
@@ -635,6 +682,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = goldenQueries.map(n => n -> goldenSql(n)).toMap ++ Map(
     "a02_ann_lsh" -> topKRecomputeSql("a02_ann_lsh", 50),
     "a04_ann_ivf" -> topKRecomputeSql("a04_ann_ivf", 50),
+    // a06 runs a04's exact algorithm through a saved+loaded index, so its
+    // independent oracle is the same recomputation over a04's candidate set
+    "a06_ann_ivf_persisted" -> topKRecomputeSql("a04_ann_ivf", 50),
     // a03: golden contributes candidate pairs; DuckDB recomputes each cosine
     // and re-applies the THRESHOLD and ordering invariants — any Spark pair
     // below 0.30, mis-ordered, or mis-valued loses its oracle row and fails
@@ -786,6 +836,40 @@ object SparkEntry {
         |    CASE WHEN list_has_any(toks, ['stream', 'batch']) THEN 'streaming' END]) AS tag
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
         |WHERE tag IS NOT NULL""".stripMargin,
+    // sessions via gap logic in pure SQL; the final predicate drops each
+    // user's trailing (still-open) session, matching batch sessionize
+    "q26_sessions" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_ms(ts) AS tms FROM events
+        |), marked AS (
+        |  SELECT user_id, tms,
+        |    CASE WHEN LAG(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+        |         OR tms - LAG(tms) OVER (PARTITION BY user_id ORDER BY tms) >= 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, tms,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |), agg AS (
+        |  SELECT user_id, sid, MIN(tms) AS start_ms, MAX(tms) AS end_ms,
+        |    COUNT(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid
+        |)
+        |SELECT user_id,
+        |  CAST(FLOOR(start_ms / 1000) AS BIGINT) AS sess_start,
+        |  CAST(FLOOR(end_ms / 1000) AS BIGINT) AS sess_end, n_events
+        |FROM agg
+        |WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)""".stripMargin,
+    // every event is in exactly 2 slide-aligned windows (k = 0, 1); window
+    // starts are epoch-aligned multiples of the 1800 s slide, like Spark's
+    "q27_sliding_window" ->
+      """SELECT (CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) - k) * 1800 AS win_start,
+        |  (CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) - k) * 1800 + 3600 AS win_end,
+        |  event_type, COUNT(*) AS n
+        |FROM events, unnest([0, 1]) AS u(k)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

@@ -166,7 +166,28 @@ object Ann {
       sampleCap: Int = 100000,
       listCap: Int = 100000
   ): DataFrame = {
-    val quant = transform(col("vec"), x => round(x.cast("double") * 1000).cast("long"))
+    val centroids = trainCentroids(corpus, nCells, seed, iters, sampleCap)
+    probeIvf(queries, centroids, buildLists(corpus, centroids, listCap), k, nProbe)
+  }
+
+  /** integer-milli quantization of the `vec` column (order-independent long
+    * arithmetic downstream — the determinism backbone of the IVF path)
+    */
+  private[ops] def quantExpr: Column =
+    transform(col("vec"), x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Deterministic Lloyd quantizer over a hash sample of the corpus (see
+    * ivfTopK doc): returns the trained centroids in quantized-milli space.
+    * Bit-identical at any partitioning/parallelism.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      nCells: Int,
+      seed: Long = 42L,
+      iters: Int = 5,
+      sampleCap: Int = 100000
+  ): Array[Array[Double]] = {
+    val quant = quantExpr
 
     // deterministic training sample of ~sampleCap rows
     val n = corpus.count()
@@ -183,17 +204,6 @@ object Ann {
       .select(col("qv"))
       .collect()
       .map(_.getSeq[Long](0).map(_.toDouble).toArray)
-
-    // native codegen'd distance row (bit-identical fold order to the HOF
-    // composition it replaces — see CentroidSqDistances)
-    def distArray(vecCol: Column): Column = graft.functions.CentroidSqDistances(vecCol, centroids)
-
-    // argmin by value: ties resolve to the FIRST (lowest) cell — value-based,
-    // so deterministic at any partitioning
-    def assignExpr(vecCol: Column): Column = {
-      val d = distArray(vecCol)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
 
     // Lloyd iterations: per-dim LONG sums (order-independent) -> new
     // centroids. Assignment inside the loop joins a tiny broadcast centroid
@@ -232,24 +242,55 @@ object Ann {
       it += 1
     }
     sample.unpersist()
+    centroids
+  }
 
-    // inverted lists (map-side assignment; hot cells bounded like lshTopK)
-    val lists = cappedLists(
+  /** native codegen'd distance row (bit-identical fold order to the HOF
+    * composition it replaces — see CentroidSqDistances)
+    */
+  private[ops] def distArray(centroids: Array[Array[Double]])(vecCol: Column): Column =
+    graft.functions.CentroidSqDistances(vecCol, centroids)
+
+  /** argmin by value: ties resolve to the FIRST (lowest) cell — value-based,
+    * so deterministic at any partitioning
+    */
+  private[ops] def assignExpr(centroids: Array[Array[Double]])(vecCol: Column): Column = {
+    val d = distArray(centroids)(vecCol)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** IVF inverted lists for a trained quantizer: map-side cell assignment,
+    * hot cells bounded like lshTopK. Output (neighbor_id, nv, cell) — the
+    * frame `IvfIndex.save` persists partitioned by cell.
+    */
+  def buildLists(corpus: DataFrame, centroids: Array[Array[Double]], listCap: Int = 100000): DataFrame =
+    cappedLists(
       corpus.select(col("id").as("neighbor_id"), col("vec"), lit(0).as("table"),
-        assignExpr(quant).as("bucket")),
+        assignExpr(centroids)(quantExpr).as("bucket")),
       "neighbor_id",
       listCap
     ).select(col("neighbor_id"), col("vec").as("nv"), col("bucket").as("cell"))
 
-    // probes: nProbe nearest centroids per query, map-side — keep cells whose
-    // distance is within the nProbe-th smallest (value-based: ties may probe
-    // one extra list, deterministically). nProbe is clamped to the TRAINED
-    // centroid count: a tiny corpus can yield fewer than nCells centroids and
-    // element_at past the end errors under ANSI mode (Spark 4 default).
+  /** Probe path over trained centroids + inverted lists (fresh-built or
+    * loaded from a persisted index): nProbe nearest centroids per query,
+    * map-side — keep cells whose distance is within the nProbe-th smallest
+    * (value-based: ties may probe one extra list, deterministically). nProbe
+    * is clamped to the TRAINED centroid count: a tiny corpus can yield fewer
+    * than nCells centroids and element_at past the end errors under ANSI
+    * mode (Spark 4 default).
+    */
+  def probeIvf(
+      queries: DataFrame,
+      centroids: Array[Array[Double]],
+      lists: DataFrame,
+      k: Int,
+      nProbe: Int = 3
+  ): DataFrame = {
+    val quant = quantExpr
     val kthIdx = math.min(nProbe, centroids.length)
     val probes = queries
-      .select(col("id").as("query_id"), col("vec").as("qv"), distArray(quant).as("ds"),
-        element_at(array_sort(distArray(quant)), kthIdx).as("kth"))
+      .select(col("id").as("query_id"), col("vec").as("qv"), distArray(centroids)(quant).as("ds"),
+        element_at(array_sort(distArray(centroids)(quant)), kthIdx).as("kth"))
       .select(col("query_id"), col("qv"), col("kth"), posexplode(col("ds")).as(Seq("cell", "dist")))
       .where(col("dist") <= col("kth"))
       .select(col("query_id"), col("qv"), col("cell"))

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-Flat index: build once, probe many times — the layout every
+  * billion-scale ANN deployment actually runs (reference builds its similarity
+  * artifacts once per corpus too: IDF.py persists the global IDF table,
+  * classifier.py persists the trained model). `Ann.ivfTopK` trains inside the
+  * query window, which is right for the one-shot driver contract but wrong at
+  * 10^9 vectors where the index is amortized over millions of probe calls.
+  *
+  * On-disk layout (all IO through DataFrame writers — works on any Hadoop
+  * filesystem, no local-path assumptions):
+  *
+  *   path/centroids/   (cell: int, centroid: array<double>)
+  *   path/lists/       parquet PARTITIONED BY cell — each inverted list is
+  *                     its own partition directory
+  *
+  * Partitioning the lists by cell is the scale story: a probe touches
+  * nProbe/nCells of the corpus, and because the probed cell set is tiny and
+  * bounded (<= nCells), `topK` collects it and pushes a literal IN filter
+  * into the scan — Spark prunes unprobed partition DIRECTORIES at planning
+  * time, so probe IO is O(probed lists), not O(corpus). IvfIndexSpec asserts
+  * the pruned file set shrinks and results stay bit-identical to the
+  * unpersisted `Ann.ivfTopK` on the same parameters.
+  */
+object IvfIndex {
+
+  final case class Handle(centroids: Array[Array[Double]], lists: DataFrame)
+
+  /** Train the deterministic quantizer and materialize the inverted lists —
+    * same arithmetic as `Ann.ivfTopK`, so probing a built (or saved+loaded)
+    * handle returns bit-identical results.
+    */
+  def build(
+      corpus: DataFrame,
+      nCells: Int = 16,
+      seed: Long = 42L,
+      iters: Int = 5,
+      sampleCap: Int = 100000,
+      listCap: Int = 100000
+  ): Handle = {
+    val centroids = Ann.trainCentroids(corpus, nCells, seed, iters, sampleCap)
+    Handle(centroids, Ann.buildLists(corpus, centroids, listCap))
+  }
+
+  def save(spark: SparkSession, h: Handle, path: String): Unit = {
+    import spark.implicits._
+    h.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1) // nCells rows of metadata — one file
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    h.lists.write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
+  }
+
+  def load(spark: SparkSession, path: String): Handle = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    // `cell` comes back as the inferred partition column; pin its type so the
+    // probe join key matches the freshly-built frame exactly
+    val lists = spark.read.parquet(s"$path/lists")
+      .withColumn("cell", col("cell").cast("int"))
+    Handle(centroids, lists)
+  }
+
+  /** Probe a handle. With `pruneCells` (default), the probed cell set —
+    * bounded by nCells, so always driver-safe — is collected and applied as
+    * a literal IN filter, which Catalyst pushes down to partition pruning on
+    * a loaded index's partitioned layout.
+    */
+  def topK(
+      queries: DataFrame,
+      h: Handle,
+      k: Int,
+      nProbe: Int = 3,
+      pruneCells: Boolean = true
+  ): DataFrame = {
+    val lists =
+      if (!pruneCells) h.lists
+      else {
+        val quant = Ann.quantExpr
+        val kthIdx = math.min(nProbe, h.centroids.length)
+        val probed = queries
+          .select(Ann.distArray(h.centroids)(quant).as("ds"),
+            element_at(array_sort(Ann.distArray(h.centroids)(quant)), kthIdx).as("kth"))
+          .select(posexplode(col("ds")).as(Seq("cell", "dist")), col("kth"))
+          .where(col("dist") <= col("kth"))
+          .select("cell").distinct().collect().map(_.getInt(0))
+        h.lists.where(col("cell").isin(probed.toSeq: _*))
+      }
+    Ann.probeIvf(queries, h.centroids, lists, k, nProbe)
+  }
+}

@@ -125,6 +125,29 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.3f")
   }
 
+  test("persisted IVF index: save/load/probe bit-identical to ivfTopK, scan pruned to probed cells") {
+    import graft.ops.IvfIndex
+    val corpus = mkVecs(240, 16, 41L).toDF("id", "vec").cache()
+    val queries = mkVecs(240, 16, 41L).filter(_._1.stripPrefix("v").toInt % 60 == 0).toDF("id", "vec")
+
+    val direct = Ann.ivfTopK(queries, corpus, k = 3, nCells = 12, nProbe = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString + "/idx"
+    IvfIndex.save(spark, IvfIndex.build(corpus, nCells = 12), path)
+    val loaded = IvfIndex.load(spark, path)
+    val viaIndex = IvfIndex.topK(queries, loaded, k = 3, nProbe = 2)
+    val got = viaIndex.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == direct, s"persisted probe must match direct ivfTopK; diff=${(direct -- got).take(3)} | ${(got -- direct).take(3)}")
+
+    // the probe's literal cell IN-filter must reach the lists scan as a
+    // PARTITION filter (not a data filter): on the partitioned-by-cell
+    // layout that is directory-level pruning — probe IO is O(probed lists)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"expected cell partition filter in:\n${plan.take(2000)}")
+  }
+
   test("embedding near-dup pairs finds planted duplicates") {
     val base = mkVecs(100, 16, 13L)
     val dups = base.take(10).map { case (id, v) => (id + "_d", v.map(x => x + 0.005f)) }
