@@ -103,4 +103,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!s.contains("Exchange") && !s.contains("Join"),
       s"q25 must be generate-over-scan only:\n${s.take(2000)}")
   }
+
+  test("sliding-window counts: one keyed shuffle, partial aggregation, map-side window explode") {
+    val df = SparkEntry.queries("q27_sliding_window")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"q27 must shuffle once on (window, type):\n${s.take(3000)}")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "window counts must partial-aggregate")
+  }
+
+  test("batch sessionizer: one keyed shuffle into the per-user state pass") {
+    val df = SparkEntry.queries("q26_sessions")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"q26 must shuffle once on user_id:\n${s.take(3000)}")
+    // the grouped-state pass needs only a LOCAL per-partition sort on the
+    // grouping key; a range-partitioned (global) sort would be a second,
+    // all-data shuffle
+    assert(!s.contains("Exchange rangepartitioning") && !s.contains("CartesianProduct"),
+      s"q26 must not globally sort:\n${s.take(2000)}")
+  }
 }
