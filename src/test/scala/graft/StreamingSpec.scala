@@ -172,6 +172,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(perUser == brk, s"session counts must match the lag/brk oracle")
   }
 
+  test("watermark drops late events from streamed window counts; batch counts everything") {
+    import spark.implicits._
+    val h = 3600 * 1000L
+    val t0 = 1700000000000L - (1700000000000L % (2 * h)) // window-aligned base
+    def ev(offMin: Long) = new java.sql.Timestamp(t0 + offMin * 60000)
+    // file A establishes the watermark at A's max - 30 min; file B carries
+    // one event late enough that BOTH its hour windows END before that
+    // watermark (drop requires window.end <= wm, not mere event lateness),
+    // plus a far-future flusher that pushes the final watermark past every
+    // on-time window so append mode emits them
+    val fileA = Seq(("u1", ev(0), "click", 0L), ("u1", ev(5), "click", 1L))
+    val fileB = Seq(("u1", ev(-200), "click", 2L), ("u1", ev(240), "view", 3L))
+    val all = (fileA ++ fileB).toDF("user_id", "ts", "event_type", "event_id")
+
+    val tmp = Files.createTempDirectory("graft-late").toString
+    // two AvailableNow RUNS over one checkpoint: the watermark is committed
+    // state, so run 2 starts at run 1's watermark (t0 - 25 min) no matter how
+    // its files batch — deterministic late-drop, and a restart-persistence
+    // check for free. The parquet sink (fault-tolerant, accumulates across
+    // runs) collects whatever append mode emits.
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(all.schema).parquet(s"$tmp/in")
+      val q = EventStreams.windowedTypeCounts(stream, watermarkDelay = "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    fileA.toDF("user_id", "ts", "event_type", "event_id")
+      .coalesce(1).write.parquet(s"$tmp/in")
+    runOnce()
+    fileB.toDF("user_id", "ts", "event_type", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    runOnce()
+    def winCounts(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getTimestamp(0).getTime, r.getString(2)) -> r.getLong(3)).toMap
+    val streamed = winCounts(spark.read.parquet(s"$tmp/out").collect())
+    val batch = winCounts(EventStreams.windowedTypeCounts(all, watermarkDelay = "30 minutes").collect())
+
+    // batch counts the late event in both its hour windows
+    assert(batch((t0 - 210 * 60000, "click")) == 1L, "batch must count the late event")
+    assert(batch((t0 - 240 * 60000, "click")) == 1L)
+    assert(batch((t0, "click")) == 2L && batch((t0 - h / 2, "click")) == 2L)
+    // the stream emits EXACTLY file A's two closed windows: the late event's
+    // windows (both ended before the run-1 watermark t0-25m) are dropped,
+    // and the flusher's own window is still open at termination
+    assert(streamed == Map((t0 - h / 2, "click") -> 2L, (t0, "click") -> 2L),
+      s"stream must drop the late event and emit only closed on-time windows: $streamed")
+  }
+
   test("event-time timeout closes an idle user's trailing session without another event") {
     import spark.implicits._
     val t0 = 1700000000000L
