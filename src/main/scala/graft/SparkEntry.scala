@@ -710,6 +710,24 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, rawcos,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS rn
          |  FROM s) WHERE rn <= 3""".stripMargin,
+    // p01: cross-engine re-derivation of the CLUSTERING itself — the golden
+    // contributes only the pipeline's pair graph + node universe (pair recall
+    // is independently gated vs brute force in DedupPipelineSpec); DuckDB
+    // recomputes every component label (min reachable id, Spark CC's
+    // contract) via recursive closure and re-counts the sizes
+    "p01_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |nodes AS (SELECT conv_id FROM read_parquet('$goldenDir/p01_nodes/*.parquet')),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM read_parquet('$goldenDir/p01_pairs/*.parquet')
+         |  UNION
+         |  SELECT id2, id1 FROM read_parquet('$goldenDir/p01_pairs/*.parquet')),
+         |reach(src, dst) AS (
+         |  SELECT conv_id, conv_id FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS conv_id, MIN(dst) AS component FROM reach GROUP BY src)
+         |SELECT component, COUNT(*) AS size FROM comp GROUP BY component""".stripMargin,
     // j01: full cross-engine re-derivation — DuckDB rebuilds BOTH positional
     // indexes with row_number() over the same total orders and re-joins
     "j01_zip_join" ->

@@ -36,6 +36,18 @@ object MakeGolden {
     SparkEntry.a05Vectors(spark, sfDir).coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/a05_doc_vectors")
     println("[golden] a05_doc_vectors rewritten")
+    // p01's candidate graph: the cross-engine oracle recomputes the connected
+    // components AND their sizes from these pinned edges/nodes via a recursive
+    // closure in DuckDB — the pin is the pipeline's pair graph (whose recall
+    // the sbt specs gate against brute force), not the clustering answer
+    val r = graft.pipeline.Dedup.run(
+      spark,
+      graft.synth.Synth.transcripts(spark,
+        graft.synth.Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 12)).toDF,
+      graft.pipeline.Dedup.Config())
+    r.pairs.select("id1", "id2").coalesce(1).write.mode("overwrite").parquet(s"$outDir/p01_pairs")
+    r.clusters.select("conv_id").coalesce(1).write.mode("overwrite").parquet(s"$outDir/p01_nodes")
+    println("[golden] p01_pairs + p01_nodes rewritten")
     spark.stop()
   }
 }
