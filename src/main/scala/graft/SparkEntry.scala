@@ -710,6 +710,38 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, rawcos,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS rn
          |  FROM s) WHERE rn <= 3""".stripMargin,
+    // g02 (hybrid): the UNWEIGHTED half is fully re-derived — DuckDB
+    // recomputes components and min-hop distances from the pinned pair graph
+    // via bounded recursive closure and re-evaluates 2/dist per intra-block
+    // pair; the weighted half stays snapshot-pinned (continuous-cost shortest
+    // paths need walk enumeration in recursive SQL, which explodes)
+    "g02_shortpath_features" ->
+      s"""WITH RECURSIVE
+         |nodes AS (SELECT conv_id FROM read_parquet('$goldenDir/p01_nodes/*.parquet')),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM read_parquet('$goldenDir/p01_pairs/*.parquet')
+         |  UNION
+         |  SELECT id2, id1 FROM read_parquet('$goldenDir/p01_pairs/*.parquet')),
+         |reach(src, dst) AS (
+         |  SELECT conv_id, conv_id FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS conv_id, MIN(dst) AS component FROM reach GROUP BY src),
+         |hops(src, dst, h) AS (
+         |  SELECT a, b, 1 FROM edges
+         |  UNION
+         |  SELECT r.src, e.b, r.h + 1 FROM hops r JOIN edges e ON r.dst = e.a WHERE r.h < 25),
+         |mind AS (SELECT src, dst, MIN(h) AS d FROM hops GROUP BY src, dst),
+         |prs AS (
+         |  SELECT x.conv_id AS id1, y.conv_id AS id2
+         |  FROM comp x JOIN comp y ON x.component = y.component AND x.conv_id < y.conv_id)
+         |SELECT 'unweighted' AS mode, p.id1, p.id2,
+         |  COALESCE(ROUND(2.0 / m.d, 6), 0.0) AS sp_feature
+         |FROM prs p LEFT JOIN mind m ON m.src = p.id1 AND m.dst = p.id2
+         |UNION ALL
+         |SELECT mode, id1, id2, sp_feature
+         |FROM read_parquet('$goldenDir/g02_shortpath_features/*.parquet')
+         |WHERE mode = 'weighted'""".stripMargin,
     // p01: cross-engine re-derivation of the CLUSTERING itself — the golden
     // contributes only the pipeline's pair graph + node universe (pair recall
     // is independently gated vs brute force in DedupPipelineSpec); DuckDB
