@@ -17,8 +17,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale shape: both are single keyed shuffles with bounded per-key state —
   * the windowed agg's state is one row per (open window, type), the
-  * sessionizer's is one 3-field struct per user, evicted by the event-time
-  * timeout as the watermark passes; nothing grows with history.
+  * sessionizer's is the per-user list of sessions still inside the watermark
+  * horizon (bounded by horizon/gap), evicted by the event-time timeout as
+  * the watermark passes; nothing grows with history.
   */
 object EventStreams {
 
@@ -49,17 +50,58 @@ object EventStreams {
       session_end: Timestamp,
       n_events: Long)
 
-  private[streaming] final case class SessState(start: Long, last: Long, n: Long)
+  private[graft] final case class SessState(start: Long, last: Long, n: Long)
+
+  /** Pending per-user sessions, parallel-array packed for the state encoder.
+    * Invariant: sorted by start, pairwise separated by >= gap (so `lasts` is
+    * sorted too and a watermark test on the head finalizes a prefix).
+    */
+  private[graft] final case class SessBuf(
+      starts: Array[Long], lasts: Array[Long], ns: Array[Long])
+
+  /** Fold one timestamp into the sorted pending-session set: attach to the
+    * session before/after it when within `gapMs`, merging the two neighbors
+    * when the event bridges them — the move an eager open-session fold gets
+    * wrong for cross-batch out-of-order events.
+    */
+  private[graft] def insertEvent(
+      buf: scala.collection.mutable.ArrayBuffer[SessState], t: Long, gapMs: Long): Unit = {
+    var idx = 0
+    while (idx < buf.length && buf(idx).start <= t) idx += 1
+    val prev = if (idx > 0) buf(idx - 1) else null
+    val next = if (idx < buf.length) buf(idx) else null
+    val joinPrev = prev != null && t - prev.last < gapMs // t inside prev's span also lands here
+    val joinNext = next != null && next.start - t < gapMs
+    if (joinPrev && joinNext) { // t bridges two previously-separate sessions
+      buf(idx - 1) = SessState(prev.start, math.max(prev.last, next.last), prev.n + next.n + 1)
+      buf.remove(idx)
+    } else if (joinPrev) {
+      buf(idx - 1) = SessState(prev.start, math.max(prev.last, t), prev.n + 1)
+    } else if (joinNext) {
+      buf(idx) = SessState(t, next.last, next.n + 1)
+    } else {
+      buf.insert(idx, SessState(t, t, 1))
+    }
+  }
 
   /** Gap sessionization with the q23 batch semantics (a gap >= `gapSec`
-    * starts a new session): per-user open-session state, closed sessions
-    * emitted as soon as a later event proves the gap, trailing sessions
-    * emitted by the event-time TIMEOUT once the watermark passes
-    * `last + gap` (so an idle user's session closes without another event
-    * from them — the thing the pure-window q23 form cannot express).
-    * In batch execution timeouts never fire: only event-closed sessions are
-    * emitted, which is exactly what a finite stream emits before its final
-    * watermark — the parity StreamingSpec exploits.
+    * starts a new session). Streaming keeps ALL not-yet-final sessions as
+    * keyed state and emits a session only once the watermark passes
+    * `last + gap` — the only point where no admissible future event (every
+    * one of which has ts >= watermark) can extend it, land inside it, or
+    * bridge it to a neighbor. Eagerly emitting on a gap-proving later event
+    * (the previous design) is wrong under cross-batch disorder: an event
+    * older than the open session's start was silently merged with the start
+    * kept wrong, and an in-gap straggler arriving after the close could
+    * invalidate an already-emitted row. Buffering until the watermark makes
+    * order irrelevant by construction; the event-time TIMEOUT parked at the
+    * head session's `last + gap` flushes idle users without another event
+    * from them. Per-key state is bounded by the watermark horizon / gap —
+    * nothing grows with history.
+    * In batch execution all of a user's events arrive in one invocation and
+    * the watermark never advances: every session except the trailing open
+    * one is event-closed and emitted — exactly what a finite stream emits
+    * before its final watermark, which the parity StreamingSpec exploits.
     */
   def sessionize(
       events: DataFrame, // (user_id, ts, ...)
@@ -80,43 +122,39 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .as[(String, Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessState, Session](
+      .flatMapGroupsWithState[SessBuf, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        (user: String, it: Iterator[(String, Timestamp)], state: GroupState[SessState]) =>
-          if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            Iterator.single(Session(user, new Timestamp(st.start), new Timestamp(st.last), st.n))
-          } else {
-            val out = scala.collection.mutable.ArrayBuffer[Session]()
-            // micro-batch delivery order is arbitrary: sort the batch's
-            // events before folding them into the open session
+        (user: String, it: Iterator[(String, Timestamp)], state: GroupState[SessBuf]) =>
+          val buf = scala.collection.mutable.ArrayBuffer[SessState]()
+          state.getOption.foreach { b =>
+            var i = 0
+            while (i < b.starts.length) { buf += SessState(b.starts(i), b.lasts(i), b.ns(i)); i += 1 }
+          }
+          if (!state.hasTimedOut) {
             val ts = it.map(_._2.getTime).toArray
             java.util.Arrays.sort(ts)
-            var st = state.getOption.orNull
-            ts.foreach { t =>
-              if (st == null) st = SessState(t, t, 1)
-              else if (t - st.last >= gapMs) {
-                out += Session(user, new Timestamp(st.start), new Timestamp(st.last), st.n)
-                st = SessState(t, t, 1)
-              } else st = SessState(st.start, math.max(st.last, t), st.n + 1)
-            }
-            if (st != null && streaming) {
-              val wm = state.getCurrentWatermarkMs()
-              if (wm > st.last + gapMs) {
-                // the watermark already proves no event can extend this
-                // session: close it now instead of parking a timeout
-                out += Session(user, new Timestamp(st.start), new Timestamp(st.last), st.n)
-                state.remove()
-              } else {
-                state.update(st)
-                state.setTimeoutTimestamp(st.last + gapMs)
-              }
-            }
-            // batch: the trailing open session is never emitted — exactly a
-            // finite stream's behavior before its final watermark
-            out.iterator
+            ts.foreach(t => insertEvent(buf, t, gapMs))
           }
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          def emitHead(): Unit = {
+            val s = buf.remove(0)
+            out += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+          }
+          if (streaming) {
+            val wm = state.getCurrentWatermarkMs()
+            while (buf.nonEmpty && buf.head.last + gapMs <= wm) emitHead()
+            if (buf.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(SessBuf(
+                buf.map(_.start).toArray, buf.map(_.last).toArray, buf.map(_.n).toArray))
+              // strictly > wm: the flush loop above drained everything <= wm
+              state.setTimeoutTimestamp(buf.head.last + gapMs)
+            }
+          } else {
+            // batch: emit every event-closed session, hold the trailing one
+            while (buf.length > 1) emitHead()
+          }
+          out.iterator
       }
   }
 }

@@ -142,21 +142,37 @@ class StreamingSpec extends AnyFunSuite {
       (u, new java.sql.Timestamp(maxTs + 3 * 3600 * 1000L), "sentinel", 999L))
     val df = (rows ++ sentinels).toDF("user_id", "ts", "event_type", "event_id")
 
-    // a LARGE watermark delay keeps the parity run free of late-drops and
-    // timeouts in BOTH modes (micro-batch file order is arbitrary, so a
-    // tight watermark could race ahead of an unprocessed user's events);
-    // the timeout path gets its own deterministic test below
+    // a LARGE watermark delay keeps the main run free of late-drops
+    // (micro-batch file order is arbitrary, so a tight watermark could race
+    // ahead of an unprocessed user's events); sessions only emit once the
+    // watermark passes them, so a second run appends a far-future flusher
+    // event that drives the final watermark past every real session
     val batch = EventStreams.sessionize(df, watermarkDelay = "100 hours").collect()
       .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events)).toSet
 
     val tmp = Files.createTempDirectory("graft-sessstream").toString
     df.repartition(5, col("user_id")).write.parquet(s"$tmp/in")
-    val stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-    val q = EventStreams.sessionize(stream, watermarkDelay = "100 hours")
-      .writeStream.format("memory").queryName("sessions").outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    val streamed = spark.table("sessions").as[EventStreams.Session].collect()
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = EventStreams.sessionize(stream, watermarkDelay = "100 hours")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val flushTs = maxTs + 300L * 3600 * 1000
+    Seq(("zz_flush", new java.sql.Timestamp(flushTs), "flush", 0L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    runOnce()
+    // the flusher run's final watermark (flushTs - 100 h) passes every real
+    // AND sentinel session, so timeouts emit them all; exclude the
+    // sentinel-only sessions (start >= maxTs + 3 h) and the flusher's own
+    val streamed = spark.read.parquet(s"$tmp/out").as[EventStreams.Session].collect()
+      .filter(s => s.user_id != "zz_flush" && s.session_start.getTime < maxTs + 3 * 3600 * 1000L)
       .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events)).toSet
     assert(streamed == batch,
       s"stream sessions (${streamed.size}) must equal batch (${batch.size}); " +
@@ -246,5 +262,71 @@ class StreamingSpec extends AnyFunSuite {
     // "other") can close its 2-event session — batch execution would emit
     // NOTHING here, this is the capability q23's window form cannot express
     assert(got.contains(("idle", 2L)), s"timeout must close the idle session, got $got")
+  }
+
+  test("cross-batch out-of-order events: in-gap stragglers extend session_start, " +
+    "gap-separated earlier events form their own session") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val min = 60000L
+    def ev(u: String, off: Long) = (u, new java.sql.Timestamp(t0 + off), "e", 0L)
+    // batch 1 carries the LATER events; batch 2 delivers event-time-EARLIER
+    // stragglers (still above the 100 h watermark). The old eager
+    // open-session fold got both wrong: the in-gap straggler was merged with
+    // session_start left at the later event, and the gap-separated one was
+    // folded into the open session because t - last was negative.
+    val fileA = Seq(ev("ingap", 10 * min), ev("sep", 120 * min))
+    val fileB = Seq(ev("ingap", 0), ev("sep", 0))
+    val schema = fileA.toDF("user_id", "ts", "event_type", "event_id").schema
+    val tmp = Files.createTempDirectory("graft-ooo").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+      val q = EventStreams.sessionize(stream, watermarkDelay = "100 hours")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    fileA.toDF("user_id", "ts", "event_type", "event_id").coalesce(1).write.parquet(s"$tmp/in")
+    runOnce()
+    fileB.toDF("user_id", "ts", "event_type", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    runOnce()
+    Seq(ev("zz_flush", 400L * 60 * min)).toDF("user_id", "ts", "event_type", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    runOnce()
+    val got = spark.read.parquet(s"$tmp/out").as[EventStreams.Session].collect()
+      .filter(_.user_id != "zz_flush")
+      .map(s => (s.user_id, s.session_start.getTime - t0, s.session_end.getTime - t0, s.n_events))
+      .toSet
+    assert(got == Set(
+      ("ingap", 0L, 10 * min, 2L),      // straggler extends the session backwards
+      ("sep", 0L, 0L, 1L),              // its own earlier session, NOT merged
+      ("sep", 120 * min, 120 * min, 1L)
+    ), s"out-of-order sessions wrong: $got")
+  }
+
+  test("insertEvent folds arbitrary arrival orders to the sorted-fold sessions") {
+    import scala.collection.mutable.ArrayBuffer
+    val gap = 10L
+    val r = new scala.util.Random(11)
+    (0 until 200).foreach { _ =>
+      val ts = Array.fill(1 + r.nextInt(12))(r.nextInt(80).toLong)
+      // oracle: sort, fold with the batch gap rule
+      val sorted = ts.sorted
+      val expect = ArrayBuffer[(Long, Long, Long)]()
+      sorted.foreach { t =>
+        if (expect.nonEmpty && t - expect.last._2 < gap) {
+          val (s, l, n) = expect.remove(expect.length - 1)
+          expect += ((s, math.max(l, t), n + 1))
+        } else expect += ((t, t, 1L))
+      }
+      // shuffle arrival order, insert one by one
+      val buf = ArrayBuffer[EventStreams.SessState]()
+      r.shuffle(ts.toSeq).foreach(t => EventStreams.insertEvent(buf, t, gap))
+      val got = buf.map(s => (s.start, s.last, s.n)).toSeq
+      assert(got == expect.toSeq, s"order-independence broken for ${ts.mkString(",")}: $got vs $expect")
+    }
   }
 }
