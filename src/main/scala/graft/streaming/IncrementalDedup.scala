@@ -14,7 +14,9 @@ import graft.pipeline.Dedup
   *   - `readStream` over the transcripts directory; per micro-batch,
   *     complete conversations are assembled and signed exactly like batch
   *     (same ShingleHashes/MinHash/SimHash/anchor expressions);
-  *   - a persistent BUCKET store (pass, bucket, conv_id, payload) accumulates
+  *   - a persistent BUCKET store (pass, bucket, conv_id, payload),
+  *     hash-shard-partitioned on disk so per-batch reads prune to the
+  *     directories the batch's keys hash into, accumulates
   *     every LSH band / SimHash chunk / substring anchor ever emitted; each
   *     batch generates (a) new x new candidates with the batch chunk/cap
   *     generator over just the new signatures and (b) new x old candidates by
@@ -25,8 +27,8 @@ import graft.pipeline.Dedup
   *     including the substring-anchor pass (anchors ride the store);
   *   - the old side of a hot bucket is hash-thinned to `bucketCap` members
   *     (same discipline as the batch chunk cap / ANN probe cap);
-  *   - exact verification joins candidate ids against the signature store —
-  *     a keyed join (at warehouse scale: a bucket-partitioned table);
+  *   - exact verification joins candidate ids against the signature store
+  *     (also shard-partitioned, read-pruned to the candidate ids' shards);
   *   - clustering stays a batch job over the accumulated pairs table
   *     (connected components is not incrementally maintainable without
   *     rewriting history — re-run `Dedup.cluster` on demand).
@@ -37,8 +39,39 @@ import graft.pipeline.Dedup
   */
 object IncrementalDedup {
 
-  final case class Stores(sigStore: String, pairStore: String) {
+  final case class Stores(
+      sigStore: String,
+      pairStore: String,
+      bucketShards: Int = 64,
+      sigShards: Int = 64) {
     def bucketStore: String = s"${sigStore}_buckets"
+  }
+
+  /** Read a shard-partitioned store pruned to the given shard set: the
+    * literal IN on the partition column is directory-level pruning, so scan
+    * IO is O(shards the batch's keys hash into), not O(accumulated store).
+    * With uniformly-hashed keys the win is the TRICKLE regime (batch keys
+    * << shard count — the steady state of an always-on ingest); a bulk
+    * backfill batch touches every shard and correctly falls back to a full
+    * read. True O(batch) lookups over a growing store need point-lookup
+    * state, which scan-based parquet cannot express — the shard layout is
+    * the Spark-native best and also what compaction needs to keep file
+    * counts bounded.
+    */
+  private[graft] def prunedRead(
+      spark: SparkSession, path: String, shardCol: String, shards: Seq[Long], nShards: Int
+  ): DataFrame = {
+    val df = spark.read.parquet(path)
+    // match the literals to the INFERRED partition-column type: directory
+    // values parse back as int, and isin over mismatched literals inserts a
+    // CAST on the partition attribute, which silently defeats directory
+    // pruning (the scan falls back to reading every shard)
+    val vals: Seq[Any] = df.schema(shardCol).dataType match {
+      case org.apache.spark.sql.types.IntegerType => shards.map(_.toInt)
+      case org.apache.spark.sql.types.LongType    => shards
+      case _                                      => shards.map(_.toString)
+    }
+    if (shards.size < nShards) df.where(col(shardCol).isin(vals: _*)) else df
   }
 
   /** Store existence through the Hadoop FileSystem API — the stores live
@@ -64,12 +97,24 @@ object IncrementalDedup {
     l.unionByName(s).unionByName(a)
   }
 
-  /** Process one micro-batch of transcript rows. Returns (newConvs, newPairs). */
+  /** Bucket entries plus their store shard (hash of the full bucket key). */
+  private[graft] def bucketEntriesWithShard(
+      sigs: DataFrame, cfg: Dedup.Config, nShards: Int): DataFrame =
+    bucketEntries(sigs, cfg)
+      .withColumn("shard", pmod(xxhash64($"pass", $"bucket"), lit(nShards)))
+
+  /** Process one micro-batch of transcript rows. Returns (newConvs, newPairs).
+    * `batchSeq` is a monotone ingest stamp written with the batch's pairs so
+    * [[refreshClusters]] can identify "pairs since the last refresh" — ties
+    * are harmless (duplicate edges are CC-idempotent), only monotonicity
+    * across sequential batches matters.
+    */
   def processBatch(
       spark: SparkSession,
       batch: DataFrame,
       stores: Stores,
-      cfg: Dedup.Config
+      cfg: Dedup.Config,
+      batchSeq: Long = System.currentTimeMillis()
   ): (Long, Long) = {
     val docs = Dedup.assemble(batch)
     val newSigs = Dedup.signatures(Dedup.shingle(docs, cfg), cfg).cache()
@@ -81,25 +126,27 @@ object IncrementalDedup {
 
     // (b) new x old — join new bucket entries against the persisted store;
     // old side of oversized buckets hash-thinned to bucketCap
-    val newB = bucketEntries(newSigs, cfg).cache()
+    val newB = bucketEntriesWithShard(newSigs, cfg, stores.bucketShards).cache()
     val haveOld = storeExists(spark, stores.bucketStore)
     if (haveOld) {
-      // the store is first SEMI-JOINED down to the batch's bucket keys (a
-      // small broadcast set): the hot-bucket size count and the candidate
-      // join then aggregate/shuffle only matching store rows, so per-batch
-      // shuffle volume tracks the batch, not the accumulated corpus
-      // (StreamingSpec asserts it stays ~flat while the store grows)
+      // two-level narrowing: the store READ is pruned to the shard
+      // directories the batch's bucket keys hash into (scan IO), then
+      // SEMI-JOINED down to the exact bucket keys (a small broadcast set) so
+      // the hot-bucket size count and the candidate join aggregate/shuffle
+      // only matching store rows — per-batch shuffle tracks the batch, not
+      // the accumulated corpus (StreamingSpec asserts both levels)
+      val batchShards = newB.select($"shard").distinct().collect().map(_.getLong(0)).toSeq
       val batchBuckets = newB.select($"pass", $"bucket").distinct()
-      val old = spark.read.parquet(stores.bucketStore)
+      val old = prunedRead(spark, stores.bucketStore, "shard", batchShards, stores.bucketShards)
+        .drop("shard")
         .join(broadcast(batchBuckets), Seq("pass", "bucket"), "left_semi")
+      // hot-bucket thinning via a WINDOW count over the already-narrowed
+      // rows: a self-join against a groupBy aggregate would scan the store a
+      // second time — the window is one tiny keyed shuffle of matching rows
       val oldCapped = old
-        .join(
-          old.groupBy($"pass", $"bucket").agg(count(lit(1)).as("bsz"))
-            .where($"bsz" > cfg.bucketCap),
-          Seq("pass", "bucket"),
-          "left_outer"
-        )
-        .where($"bsz".isNull || pmod(xxhash64($"id", $"bucket"), $"bsz") < cfg.bucketCap)
+        .withColumn("bsz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"pass", $"bucket")))
+        .where($"bsz" <= cfg.bucketCap || pmod(xxhash64($"id", $"bucket"), $"bsz") < cfg.bucketCap)
         .drop("bsz")
       val maxD = cfg.simhashMaxHamming
       val joined = newB.select($"pass", $"bucket", $"id".as("nid"), $"payload".as("np"))
@@ -122,17 +169,24 @@ object IncrementalDedup {
       .distinct()
     val sigCols = Seq($"conv_id", $"shingles", $"sig", $"simhash")
     val oldSigs =
-      if (storeExists(spark, stores.sigStore))
-        spark.read.parquet(stores.sigStore)
+      if (storeExists(spark, stores.sigStore)) {
+        // same two-level narrowing as the bucket store: prune the READ to
+        // the candidate ids' shard directories, then semi-join the exact ids
+        val candShards = candIds
+          .select(pmod(xxhash64($"conv_id"), lit(stores.sigShards)).as("s"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        prunedRead(spark, stores.sigStore, "sshard", candShards, stores.sigShards)
           .join(broadcast(candIds), Seq("conv_id"), "left_semi")
-      else newSigs.select(sigCols: _*).limit(0)
+      } else newSigs.select(sigCols: _*).limit(0)
     val all = oldSigs.select(sigCols: _*).union(newSigs.select(sigCols: _*))
     val pairs = Dedup.verify(candKeys, all, cfg).cache()
     val nPairs = pairs.count()
 
-    pairs.write.mode("append").parquet(stores.pairStore)
-    newB.write.mode("append").parquet(stores.bucketStore)
-    newSigs.select(sigCols: _*).write.mode("append").parquet(stores.sigStore)
+    pairs.withColumn("ingest_seq", lit(batchSeq)).write.mode("append").parquet(stores.pairStore)
+    newB.write.partitionBy("shard").mode("append").parquet(stores.bucketStore)
+    newSigs.select(sigCols: _*)
+      .withColumn("sshard", pmod(xxhash64($"conv_id"), lit(stores.sigShards)))
+      .write.partitionBy("sshard").mode("append").parquet(stores.sigStore)
     newSigs.unpersist()
     newB.unpersist()
     candKeys.unpersist()
@@ -171,5 +225,75 @@ object IncrementalDedup {
     val sigs = spark.read.parquet(stores.sigStore)
     val pairs = spark.read.parquet(stores.pairStore)
     Dedup.cluster(spark, sigs.select($"conv_id"), pairs)
+  }
+
+  /** Incremental clustering refresh. The previous labeling is folded in as
+    * STAR EDGES (conv_id -> its component label): a component label is the
+    * min reachable id — itself a member conv_id — so the stars reproduce the
+    * old graph's connectivity exactly and CC over (stars UNION pairs newer
+    * than `prev`'s ingest_seq) yields the identical labeling to a full
+    * re-cluster over every pair ever stored, while the CC input is
+    * O(nodes + new pairs) instead of O(all pairs). Returns the labels plus
+    * the ingest_seq high-water mark to pass as `prev` next time; `prev =
+    * None` (or an empty pair store) degrades to the full batch job.
+    */
+  def refreshClusters(
+      spark: SparkSession,
+      stores: Stores,
+      prev: Option[(DataFrame, Long)] = None
+  ): (DataFrame, Long) = {
+    val nodes = spark.read.parquet(stores.sigStore).select($"conv_id")
+    if (!storeExists(spark, stores.pairStore))
+      return (nodes.select($"conv_id", $"conv_id".as("component")), Long.MinValue)
+    val pairs = spark.read.parquet(stores.pairStore)
+    val upTo = pairs.agg(max($"ingest_seq")).first() match {
+      case r if r.isNullAt(0) => Long.MinValue
+      case r                  => r.getLong(0)
+    }
+    val labels = prev match {
+      case None => Dedup.cluster(spark, nodes, pairs)
+      case Some((prevLabels, seen)) =>
+        val newPairs = pairs.where($"ingest_seq" > seen).select($"id1", $"id2")
+        val stars = prevLabels.where($"conv_id" =!= $"component")
+          .select($"conv_id".as("id1"), $"component".as("id2"))
+        Dedup.cluster(spark, nodes, newPairs.unionByName(stars))
+    }
+    (labels, upTo)
+  }
+
+  /** Rewrite one store with bounded file counts: append-mode micro-batches
+    * leave one file per (batch x shard); compaction folds them to one file
+    * per shard directory via an atomic aside-rename swap (Hadoop FS, so it
+    * holds on hdfs:// too; s3a renames are copies but stay atomic per the
+    * committer's contract). Must run between batches — no concurrent writer.
+    */
+  private def compact(
+      spark: SparkSession, path: String, partCol: Option[String], n: Int): Unit = {
+    if (!storeExists(spark, path)) return
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val aside = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(tmp, true)
+    fs.delete(aside, true)
+    val df = spark.read.parquet(path)
+    partCol match {
+      // hash-repartition ON the partition column: every shard lands in
+      // exactly one task, so each directory comes out as one file
+      case Some(c) => df.repartition(n, col(c)).write.partitionBy(c).parquet(tmp.toString)
+      case None    => df.repartition(n).write.parquet(tmp.toString)
+    }
+    require(fs.rename(p, aside), s"compact: cannot move $path aside")
+    require(fs.rename(tmp, p), s"compact: cannot swap in compacted $path")
+    fs.delete(aside, true)
+  }
+
+  /** Compact all three stores (see [[compact]]); call periodically from the
+    * ingest driver (e.g. every k batches) or on demand.
+    */
+  def compactStores(spark: SparkSession, stores: Stores, pairFiles: Int = 8): Unit = {
+    compact(spark, stores.bucketStore, Some("shard"), stores.bucketShards)
+    compact(spark, stores.sigStore, Some("sshard"), stores.sigShards)
+    compact(spark, stores.pairStore, None, pairFiles)
   }
 }

@@ -95,6 +95,136 @@ class StreamingSpec extends AnyFunSuite {
       s"late-batch shuffle ($late) must not grow with the store (early $early)")
   }
 
+  test("store reads are partition-pruned to the batch's shards; compaction bounds file counts") {
+    import spark.implicits._
+    val scfg = Synth.Config(nClusters = 160, boilerClusters = 1, boilerSize = 8)
+    val cfg = Dedup.Config()
+    val transcripts = Synth.transcripts(spark, scfg).toDF
+      .withColumn("part", pmod(xxhash64(col("conv_id")), lit(8)))
+      .cache()
+    val tmp = Files.createTempDirectory("graft-prune").toString
+    // high shard count so a trickle batch's key set hits a small shard subset
+    val stores = IncrementalDedup.Stores(
+      s"$tmp/sigs", s"$tmp/pairs", bucketShards = 256, sigShards = 256)
+    (0 until 6).foreach { b =>
+      IncrementalDedup.processBatch(
+        spark, transcripts.where(col("part") === b).drop("part"), stores, cfg)
+    }
+
+    def storeFilesBytes(path: String): (Long, Long) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      var files = 0L; var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) { files += 1; bytes += f.getLen }
+      }
+      (files, bytes)
+    }
+
+    // compaction first: append-mode batches leave one tiny footer-dominated
+    // file per (batch x shard); fold to one file per shard dir, preserving
+    // rows, so the scan measurement below isn't footer noise
+    val (bFiles0, _) = storeFilesBytes(stores.bucketStore)
+    val rowsBefore = spark.read.parquet(stores.bucketStore).count()
+    val pairsBefore = spark.read.parquet(stores.pairStore).count()
+    IncrementalDedup.compactStores(spark, stores)
+    val (bFiles, bBytes) = storeFilesBytes(stores.bucketStore)
+    val (sFiles, sBytes) = storeFilesBytes(stores.sigStore)
+    val shardDirs = {
+      val p = new org.apache.hadoop.fs.Path(stores.bucketStore)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).count(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+    }
+    assert(bFiles <= shardDirs, s"compacted to $bFiles files over $shardDirs shard dirs")
+    assert(bFiles < bFiles0, s"compaction must shrink file count ($bFiles0 -> $bFiles)")
+    assert(spark.read.parquet(stores.bucketStore).count() == rowsBefore)
+    assert(spark.read.parquet(stores.pairStore).count() == pairsBefore)
+
+    // trickle batch: ONE conversation — per-batch scan IO must track the
+    // batch's shard hits, not the accumulated store
+    val oneConv = transcripts.select("conv_id").distinct().where(col("part") === 7)
+      .limit(1).collect()(0).getString(0)
+    // materialize the trickle batch as a LOCAL relation so the listener's
+    // bytesRead measures only the store reads, not a cached-table rescan
+    val tinyBatch = {
+      val rows = transcripts.where(col("conv_id") === oneConv).drop("part").collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), transcripts.drop("part").schema)
+    }
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    IncrementalDedup.processBatch(spark, tinyBatch, stores, cfg)
+    Thread.sleep(500) // listener bus drains async
+    spark.sparkContext.removeSparkListener(listener)
+    info(s"trickle-batch bytesRead=${bytesRead.get}, store bytes=${bBytes + sBytes} " +
+      s"($bFiles + $sFiles files)")
+    // one conv hits ~80 of 256 bucket shards; without pruning the batch
+    // would re-read the whole bucket store + sig store
+    assert(bytesRead.get < (bBytes + sBytes) / 2,
+      s"trickle batch read ${bytesRead.get} B — not pruned vs store ${bBytes + sBytes} B")
+
+    // the pruned read plans directory-level PartitionFilters, and its
+    // executed scan touches a strict subset of the store's files
+    val pruned = IncrementalDedup.prunedRead(
+      spark, stores.bucketStore, "shard", Seq(0L, 1L, 2L, 3L), stores.bucketShards)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in pruned read plan"))
+    assert("""PartitionFilters: \[[^\]]*shard""".r.findFirstIn(scan.toString).isDefined,
+      s"expected a shard partition filter in:\n${scan.toString.take(800)}")
+    val numFiles = scan.metrics("numFiles").value
+    val (bFilesNow, _) = storeFilesBytes(stores.bucketStore)
+    assert(numFiles > 0 && numFiles < bFilesNow / 8,
+      s"pruned scan read $numFiles of $bFilesNow bucket-store files")
+
+    // ingest + clustering still green on the compacted + appended store
+    // (part 6 is deliberately never ingested — the expected universe is the
+    // 7 ingested shards: history 0-5, trickle + remainder of 7)
+    IncrementalDedup.processBatch(
+      spark,
+      transcripts.where(col("part") === 7 && col("conv_id") =!= oneConv).drop("part"),
+      stores, cfg)
+    assert(IncrementalDedup.clusterNow(spark, stores).count() ==
+      transcripts.where(col("part") =!= 6).select("conv_id").distinct().count())
+  }
+
+  test("incremental clustering refresh (prior labels as star edges) == full re-cluster") {
+    import spark.implicits._
+    val scfg = Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 8)
+    val cfg = Dedup.Config()
+    val transcripts = Synth.transcripts(spark, scfg).toDF
+      .withColumn("part", pmod(xxhash64(col("conv_id")), lit(4)))
+      .cache()
+    val tmp = Files.createTempDirectory("graft-refresh").toString
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+
+    def batch(b: Int) = transcripts.where(col("part") === b).drop("part")
+    (0 to 1).foreach(b => IncrementalDedup.processBatch(spark, batch(b), stores, cfg, batchSeq = b))
+    val (labels0, seen0) = IncrementalDedup.refreshClusters(spark, stores, None)
+    val pinned = (labels0.cache(), seen0)
+    assert(seen0 == 1L)
+
+    (2 to 3).foreach(b => IncrementalDedup.processBatch(spark, batch(b), stores, cfg, batchSeq = b))
+    val (incr, seen1) = IncrementalDedup.refreshClusters(spark, stores, Some(pinned))
+    assert(seen1 == 3L)
+    val full = IncrementalDedup.clusterNow(spark, stores)
+    val diff = incr.exceptAll(full).count() + full.exceptAll(incr).count()
+    assert(diff == 0, s"incremental refresh labels differ from full re-cluster on $diff rows")
+    // and the incremental CC input really was smaller than the full pair store
+    val allPairs = spark.read.parquet(stores.pairStore).count()
+    val newPairs = spark.read.parquet(stores.pairStore).where(col("ingest_seq") > seen0).count()
+    info(s"full store $allPairs pairs; incremental saw $newPairs new + star edges")
+    assert(newPairs < allPairs)
+  }
+
   // deterministic event corpus for the §2.10 window/state operators:
   // per-user cumulative random steps (0..60 min) guarantee plenty of
   // >=30-min session gaps; one far-future sentinel per user closes every
