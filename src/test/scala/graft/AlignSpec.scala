@@ -38,6 +38,18 @@ class AlignSpec extends AnyFunSuite {
     assert(out.count() == 5000)
   }
 
+  test("dense index survives a downstream coalesce(1) (stage-fusing write path)") {
+    // regression: Verify writes every query with coalesce(1); a runtime
+    // TaskContext partition-id lookup sees partition 0 for EVERY fused
+    // parent partition, zeroing all offsets — the pid must ride in the data
+    val left = (1 to 2000).map(i => (i, i * 2)).toDF("lid", "ldouble").repartition(11)
+    val right = (1 to 2000).map(i => (i, i * 3)).toDF("rid", "rtriple").repartition(5)
+    val out = Align.zipJoin(left, right, Seq($"lid"), Seq($"rid")).coalesce(1).cache()
+    assert(out.count() == 2000)
+    assert(out.where($"lid" =!= $"rid").count() == 0)
+    out.unpersist()
+  }
+
   test("overlapping column names are rejected with a clear error") {
     val df = Seq((1, "a")).toDF("id", "v")
     val e = intercept[IllegalArgumentException] {
