@@ -631,7 +631,6 @@ object SparkEntry {
     "d06_fingerprints",
     "d07_substring_dup",
     "g01_block_refine",
-    "g02_shortpath_features",
     "g03_ap_cluster",
     "g04_dup_split",
     "m01_multimodal_frames",
@@ -646,6 +645,19 @@ object SparkEntry {
   private[graft] def goldenDir: String =
     sys.env.getOrElse("GRAFT_GOLDEN_DIR",
       new java.io.File(sys.props.getOrElse("user.dir", "."), "golden").getAbsolutePath)
+
+  /** Min-plus matrix squaring as a chain of CTEs: `<p>k` holds the cheapest
+    * cost over walks of <= 2^k edges between each reachable (src, dst),
+    * seeded by `<p>0` = direct edges + 0-cost self loops. log2 levels replace
+    * walk-enumerating recursion, which explodes on continuous edge costs.
+    */
+  private def duckMinPlusDoubling(p: String, levels: Int): String =
+    (1 to levels).map { i =>
+      val prev = s"$p${i - 1}"
+      s"""$p$i AS (
+         |  SELECT x.src AS src, y.dst AS dst, MIN(x.c + y.c) AS c
+         |  FROM $prev x JOIN $prev y ON x.dst = y.src GROUP BY x.src, y.dst)""".stripMargin
+    }.mkString(",\n")
 
   private def goldenSql(name: String): String =
     s"SELECT * FROM read_parquet('$goldenDir/$name/*.parquet')"
@@ -710,38 +722,43 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, rawcos,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS rn
          |  FROM s) WHERE rn <= 3""".stripMargin,
-    // g02 (hybrid): the UNWEIGHTED half is fully re-derived — DuckDB
-    // recomputes components and min-hop distances from the pinned pair graph
-    // via bounded recursive closure and re-evaluates 2/dist per intra-block
-    // pair; the weighted half stays snapshot-pinned (continuous-cost shortest
-    // paths need walk enumeration in recursive SQL, which explodes)
+    // g02: BOTH halves fully re-derived from the pinned pair graph (no
+    // result snapshot). Components come from recursive closure; shortest
+    // paths (hop-count AND continuous 1/jaccard costs) from min-plus
+    // matrix DOUBLING — 8 squarings cover min-cost walks of up to 2^8 = 256
+    // edges, and with positive weights every optimal path is simple, hence
+    // <= |nodes|-1 = 229 < 256 edges: the bound is proven by the data, not
+    // assumed (naive walk recursion explodes on continuous costs; a fixed
+    // hop cap can disagree with a correct unbounded Dijkstra)
     "g02_shortpath_features" ->
       s"""WITH RECURSIVE
          |nodes AS (SELECT conv_id FROM read_parquet('$goldenDir/p01_nodes/*.parquet')),
+         |pr AS (SELECT id1, id2, jaccard FROM read_parquet('$goldenDir/p01_pairs/*.parquet')),
          |edges AS (
-         |  SELECT id1 AS a, id2 AS b FROM read_parquet('$goldenDir/p01_pairs/*.parquet')
-         |  UNION
-         |  SELECT id2, id1 FROM read_parquet('$goldenDir/p01_pairs/*.parquet')),
+         |  SELECT id1 AS a, id2 AS b, jaccard AS j FROM pr
+         |  UNION ALL
+         |  SELECT id2, id1, jaccard FROM pr),
          |reach(src, dst) AS (
          |  SELECT conv_id, conv_id FROM nodes
          |  UNION
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
          |comp AS (SELECT src AS conv_id, MIN(dst) AS component FROM reach GROUP BY src),
-         |hops(src, dst, h) AS (
-         |  SELECT a, b, 1 FROM edges
-         |  UNION
-         |  SELECT r.src, e.b, r.h + 1 FROM hops r JOIN edges e ON r.dst = e.a WHERE r.h < 25),
-         |mind AS (SELECT src, dst, MIN(h) AS d FROM hops GROUP BY src, dst),
          |prs AS (
          |  SELECT x.conv_id AS id1, y.conv_id AS id2
-         |  FROM comp x JOIN comp y ON x.component = y.component AND x.conv_id < y.conv_id)
+         |  FROM comp x JOIN comp y ON x.component = y.component AND x.conv_id < y.conv_id),
+         |u0 AS (SELECT a AS src, b AS dst, 1.0 AS c FROM edges
+         |       UNION ALL SELECT conv_id, conv_id, 0.0 FROM nodes),
+         |${duckMinPlusDoubling("u", 8)},
+         |w0 AS (SELECT a AS src, b AS dst, 1.0 / j AS c FROM edges
+         |       UNION ALL SELECT conv_id, conv_id, 0.0 FROM nodes),
+         |${duckMinPlusDoubling("w", 8)}
          |SELECT 'unweighted' AS mode, p.id1, p.id2,
-         |  COALESCE(ROUND(2.0 / m.d, 6), 0.0) AS sp_feature
-         |FROM prs p LEFT JOIN mind m ON m.src = p.id1 AND m.dst = p.id2
+         |  COALESCE(ROUND(2.0 / u.c, 6), 0.0) AS sp_feature
+         |FROM prs p LEFT JOIN u8 u ON u.src = p.id1 AND u.dst = p.id2
          |UNION ALL
-         |SELECT mode, id1, id2, sp_feature
-         |FROM read_parquet('$goldenDir/g02_shortpath_features/*.parquet')
-         |WHERE mode = 'weighted'""".stripMargin,
+         |SELECT 'weighted' AS mode, p.id1, p.id2,
+         |  COALESCE(ROUND(1.0 / w.c, 6), 0.0) AS sp_feature
+         |FROM prs p LEFT JOIN w8 w ON w.src = p.id1 AND w.dst = p.id2""".stripMargin,
     // p01: cross-engine re-derivation of the CLUSTERING itself — the golden
     // contributes only the pipeline's pair graph + node universe (pair recall
     // is independently gated vs brute force in DedupPipelineSpec); DuckDB

@@ -45,7 +45,9 @@ object MakeGolden {
       graft.synth.Synth.transcripts(spark,
         graft.synth.Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 12)).toDF,
       graft.pipeline.Dedup.Config())
-    r.pairs.select("id1", "id2").coalesce(1).write.mode("overwrite").parquet(s"$outDir/p01_pairs")
+    // jaccard rides along (full double precision): g02's oracle re-derives
+    // weighted shortest paths from these edge weights
+    r.pairs.select("id1", "id2", "jaccard").coalesce(1).write.mode("overwrite").parquet(s"$outDir/p01_pairs")
     r.clusters.select("conv_id").coalesce(1).write.mode("overwrite").parquet(s"$outDir/p01_nodes")
     println("[golden] p01_pairs + p01_nodes rewritten")
     spark.stop()
