@@ -500,9 +500,12 @@ object SparkEntry {
     "a06_ann_ivf_persisted" -> ((s, d) => {
       val emb = t(s, d, "embeddings").select($"vec_id".cast("string").as("id"), $"embedding".as("vec"))
       val queries = emb.where($"id".cast("long") % 50 === 0)
+      // under the session's own warehouse dir (per-process: Verify/Bench set
+      // distinct warehouses), keyed by a per-JVM nonce so two concurrent
+      // sessions over the same dataset can't race save(overwrite) vs probe
       val idxPath = new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-ivf-${java.lang.Integer.toHexString(d.hashCode)}"
+        new java.io.File(new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath),
+        s"graft-ivf-${java.lang.Long.toHexString(indexNonce)}"
       ).getAbsolutePath
       graft.ops.IvfIndex.save(s, graft.ops.IvfIndex.build(emb, nCells = 16), idxPath)
       graft.ops.IvfIndex.topK(queries, graft.ops.IvfIndex.load(s, idxPath), k = 3, nProbe = 4)
@@ -642,6 +645,12 @@ object SparkEntry {
     * a hardcoded absolute path: GRAFT_GOLDEN_DIR overrides, else the process
     * working directory (Verify/MakeGolden run from the repo root).
     */
+  /** Per-JVM nonce for scratch artifact paths (a06's persisted index): two
+    * concurrent processes over the same dataset (bench + verify) must not
+    * share an index dir — save(overwrite) would race the other's probe.
+    */
+  private lazy val indexNonce: Long = java.lang.ProcessHandle.current().pid()
+
   private[graft] def goldenDir: String =
     sys.env.getOrElse("GRAFT_GOLDEN_DIR",
       new java.io.File(sys.props.getOrElse("user.dir", "."), "golden").getAbsolutePath)
