@@ -60,7 +60,15 @@ object Dedup {
         count(lit(1)).as("n_turns")
       )
 
-  /** (conv_id, doc, n_turns, shingles array<int> sorted distinct) */
+  /** (conv_id, doc, n_turns, shingles array<int> sorted distinct).
+    * The reference's pre-tokenization normalization (P6,
+    * venue_author_preprocess.R:18-39: lowercase, punctuation -> delimiter)
+    * is FUSED inside ShingleHashes' single char pass — always on, map-side,
+    * zero extra cost — so case/punctuation-variant near-dups cluster by
+    * default (DedupPipelineSpec pins jaccard 1.0 for such variants). The
+    * substring-anchor pass stays on raw text by design (exact-substring
+    * semantics).
+    */
   def shingle(docs: DataFrame, cfg: Config): DataFrame =
     docs.select(
       $"conv_id",

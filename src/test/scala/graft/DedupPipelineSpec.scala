@@ -104,4 +104,34 @@ class DedupPipelineSpec extends AnyFunSuite {
       assert(distinctPerCluster == 0)
     }
   }
+
+  test("P6 normalization is FUSED into the shingle pass: case/punctuation variants " +
+    "pair at jaccard 1.0 by default (venue_author_preprocess.R:18-39 semantics)") {
+    import spark.implicits._
+    // two convs identical up to case + punctuation, one unrelated
+    def turns(cid: String, f: String => String) = (0 until 5).map { i =>
+      (cid, i, f(s"The Quick, Brown Fox! Jumps Over The LAZY Dog; segment $i ends here with flair"))
+    }
+    val rows = turns("vA", identity) ++
+      turns("vB", s => s.toLowerCase.replaceAll("[,!;]", "")) ++
+      turns("vC", _ => "completely unrelated content about submarines and citrus farming at dawn")
+    val df = rows.toDF("conv_id", "turn_idx", "text")
+
+    val r = Dedup.run(spark, df, cfg)
+    // ShingleHashes lowercases and treats non-alphanumeric runs as the token
+    // delimiter inside its one fused char pass, so the pipeline needs no
+    // separate normalize stage -- the variants' shingle SETS are identical
+    val ab = r.pairs.where(col("id1") === "vA" && col("id2") === "vB").collect()
+    assert(ab.length == 1 && ab(0).getAs[Double]("jaccard") == 1.0,
+      s"case/punct variants must pair at jaccard 1.0 by default, got ${ab.toSeq}")
+    // and fused normalization is exactly T.normalize-then-shingle: same sets
+    val viaT = Dedup.shingle(
+      Dedup.assemble(df).withColumn("doc", graft.functions.text.normalize(col("doc"))), cfg)
+      .select(col("conv_id"), col("shingles"))
+    val direct = Dedup.shingle(Dedup.assemble(df), cfg).select(col("conv_id"), col("shingles"))
+    assert(direct.exceptAll(viaT).count() == 0 && viaT.exceptAll(direct).count() == 0)
+    // the unrelated conv stays out of the variants' cluster
+    val comps = r.clusters.collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(comps("vA") == comps("vB") && comps("vC") != comps("vA"))
+  }
 }
