@@ -158,12 +158,30 @@ final class StageRunner(spark: SparkSession, warehouse: String, verbose: Boolean
         @volatile var written = -1L
         val latch = new java.util.concurrent.CountDownLatch(1)
         val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-          private def isOurWrite(qe: org.apache.spark.sql.execution.QueryExecution): Boolean = {
-            val p = qe.executedPlan
-            // the write's executed plan is a DataWritingCommandExec /
-            // WriteFiles wrapper whose command string carries the output path
-            p.getClass.getSimpleName.contains("Command") && p.toString.contains(dir)
+          // fs-qualified target: path comparison must survive scheme/authority
+          // differences (file: vs none, trailing slash) between how the write
+          // command and this class spell the same directory
+          private val target = {
+            val p = new Path(dir)
+            TableIO.fsOf(p).makeQualified(p)
           }
+          private def isOurWrite(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+            qe.executedPlan match {
+              // match the write STRUCTURALLY on the command's own outputPath:
+              // a plan-STRING containment test silently never matches when
+              // spark.sql.maxToStringFields truncates the rendered plan,
+              // burning the full latch timeout + a re-count every stage
+              case exec: org.apache.spark.sql.execution.command.DataWritingCommandExec =>
+                exec.cmd match {
+                  case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand =>
+                    TableIO.fsOf(c.outputPath).makeQualified(c.outputPath) == target
+                  case _ => false
+                }
+              // any other write plan shape (e.g. a future V2 path): keep the
+              // old substring heuristic as a fallback rather than never match
+              case p =>
+                p.getClass.getSimpleName.contains("Command") && p.toString.contains(dir)
+            }
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
             if (isOurWrite(qe)) {
