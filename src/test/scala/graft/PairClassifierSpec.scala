@@ -88,4 +88,74 @@ class PairClassifierSpec extends AnyFunSuite {
     assert(metrics.max > 0.9, metrics.mkString(","))
     assert(cvModel.bestModel.isInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel])
   }
+
+  test("classifier probs as the pair score: refine beats the raw-jaccard cut end-to-end " +
+    "(the reference's classifier -> constrained-Kruskal handoff, classifier.py:389-423)") {
+    import graft.pipeline.Eval
+    import graft.plans.BlockClustering
+
+    // planted ambiguity the raw similarity CANNOT resolve: per entity,
+    // variants a/b share 4 of 6 turns (true dups, jaccard ~0.5) while a short
+    // impostor c quotes 3 of the same turns (jaccard ~0.5 to each, but HALF
+    // the turns/size). Lexical overlap is symmetric between the two pair
+    // kinds by construction; only the size/turns-ratio features separate
+    // them — exactly the regime where the reference swaps the raw score for
+    // classifier probabilities before the Kruskal cut. Shared turns are
+    // ~120 chars, so the substring-anchor pass catches every pair
+    // deterministically (no LSH luck at s~0.5).
+    val rnd = new scala.util.Random(7)
+    def sent() = Seq.fill(20)(s"w${rnd.nextInt(40000)}").mkString(" ")
+    val nEnt = 12
+    val rows = (0 until nEnt).flatMap { i =>
+      val shared = Seq.fill(4)(sent())
+      def conv(id: String, ts: Seq[String]) = ts.zipWithIndex.map { case (t, k) => (id, k, t) }
+      conv(s"e${i}_a", shared ++ Seq.fill(2)(sent())) ++
+        conv(s"e${i}_b", shared ++ Seq.fill(2)(sent())) ++
+        conv(s"e${i}_c", shared.take(3))
+    }
+    val transcripts = rows.toDF("conv_id", "turn_idx", "text")
+    val cfg = Dedup.Config(threshold = 0.30, estMargin = 0.25)
+    val r = Dedup.run(spark, transcripts, cfg)
+
+    // capture sanity: each entity must land in ONE block with all 3 members
+    // (else the comparison below measures candidate recall, not the cut)
+    val entityOf = substring_index($"conv_id", "_", 1)
+    val blocksPerEntity = r.clusters.groupBy(entityOf.as("ent"))
+      .agg(countDistinct($"component").as("nb"), count(lit(1)).as("nm")).collect()
+    assert(blocksPerEntity.forall(x => x.getLong(1) == 1 && x.getLong(2) == 3),
+      s"every entity must form one 3-member block: ${blocksPerEntity.mkString(", ")}")
+
+    // truth: a+b are one cluster, the impostor is its own
+    def clusterOf(c: org.apache.spark.sql.Column) =
+      when(c.endsWith("_c"), c).otherwise(substring_index(c, "_", 1))
+    val labeled = PairClassifier.featurize(r.pairs.select($"id1", $"id2"), r.sigs, r.docs)
+      .withColumn("label", (clusterOf($"id1") === clusterOf($"id2")).cast("int"))
+
+    // block-level split: train on entities 0-6, evaluate on held-out 7-11
+    val trainEnts = (0 until 7).map(i => s"e$i")
+    val models = PairClassifier.train(
+      labeled.where(substring_index($"id1", "_", 1).isin(trainEnts: _*)),
+      numTrees = 50, gbtIters = 30)
+
+    // the handoff: ensemble probability REPLACES raw jaccard as the edge sim
+    val scored = PairClassifier.predict(models, labeled)
+      .select($"id1", $"id2", $"prob".as("jaccard"))
+    val rawRefined = BlockClustering.refine(spark, r.clusters, r.pairs)
+    val clfRefined = BlockClustering.refine(spark, r.clusters, scored)
+
+    val heldEnts = (7 until nEnt).map(i => s"e$i")
+    val truthHeld = rows.map(_._1).distinct
+      .map(id => (id, if (id.endsWith("_c")) id else id.split("_")(0)))
+      .toDF("conv_id", "cluster_id")
+      .where(substring_index($"conv_id", "_", 1).isin(heldEnts: _*))
+    def f1(refined: org.apache.spark.sql.DataFrame): Double =
+      Eval.pairwise(spark,
+        refined.where(substring_index($"conv_id", "_", 1).isin(heldEnts: _*)), truthHeld).f1
+    val rawF1 = f1(rawRefined)
+    val clfF1 = f1(clfRefined)
+    info(f"held-out pairwise F1: raw-jaccard cut $rawF1%.3f, classifier-scored cut $clfF1%.3f")
+    assert(clfF1 >= 0.9, f"classifier-scored refine must resolve the planted corpus, F1=$clfF1%.3f")
+    assert(clfF1 > rawF1 + 0.3,
+      f"classifier score must beat raw jaccard decisively: clf $clfF1%.3f vs raw $rawF1%.3f")
+  }
 }
