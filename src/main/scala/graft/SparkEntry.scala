@@ -511,6 +511,29 @@ object SparkEntry {
       graft.ops.IvfIndex.topK(queries, graft.ops.IvfIndex.load(s, idxPath), k = 3, nProbe = 4)
     }),
 
+    // ---- index MAINTENANCE: save an index over half the corpus, add() the
+    // other half against the FROZEN centroids (no retrain), probe the loaded
+    // result. Cell assignment is a pure function of (vector, centroids), so
+    // build(half1) + add(half2) == one monolithic build over the union with
+    // the same centroids; training over the FULL corpus (a04's parameters)
+    // makes the answer bit-identical to a04's, and the oracle re-derives it
+    // independently from the base embeddings.
+    "a07_ann_ivf_add" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select($"vec_id".cast("string").as("id"), $"embedding".as("vec"))
+      val queries = emb.where($"id".cast("long") % 50 === 0)
+      val idxPath = new java.io.File(
+        new java.io.File(new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath),
+        s"graft-ivf-add-${java.lang.Long.toHexString(indexNonce)}"
+      ).getAbsolutePath
+      val centroids = graft.ops.Ann.trainCentroids(emb, nCells = 16)
+      val half1 = emb.where(pmod(xxhash64($"id"), lit(2)) === 0)
+      val half2 = emb.where(pmod(xxhash64($"id"), lit(2)) === 1)
+      graft.ops.IvfIndex.save(s,
+        graft.ops.IvfIndex.Handle(centroids, graft.ops.Ann.buildLists(half1, centroids)), idxPath)
+      graft.ops.IvfIndex.add(s, idxPath, half2)
+      graft.ops.IvfIndex.topK(queries, graft.ops.IvfIndex.load(s, idxPath), k = 3, nProbe = 4)
+    }),
+
     // ---- trained doc embeddings (M8 doc2vec analogue) -> exact top-k
     // neighbors (M9 pair features): Word2Vec trains on a sorted single
     // partition, so vectors — and this output — are reproducible at any
@@ -706,6 +729,9 @@ object SparkEntry {
     // a06 runs a04's exact algorithm through a saved+loaded index, so its
     // independent oracle is the same recomputation over a04's candidate set
     "a06_ann_ivf_persisted" -> topKRecomputeSql("a04_ann_ivf", 50),
+    // a07 = build(half) + add(half) under a04's centroids: same answer by
+    // the frozen-centroid contract, same independent recomputation
+    "a07_ann_ivf_add" -> topKRecomputeSql("a04_ann_ivf", 50),
     // a03: golden contributes candidate pairs; DuckDB recomputes each cosine
     // and re-applies the THRESHOLD and ordering invariants — any Spark pair
     // below 0.30, mis-ordered, or mis-valued loses its oracle row and fails

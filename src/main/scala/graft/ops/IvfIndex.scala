@@ -56,6 +56,23 @@ object IvfIndex {
     h.lists.write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
   }
 
+  /** Add vectors to a SAVED index without retraining: the new rows are
+    * quantized against the index's OWN centroids and appended to their
+    * cells' partition directories. Frozen centroids are the IVF maintenance
+    * contract at serving scale (train once, add forever, rebuild on
+    * distribution drift): the union of an initial build's lists and any
+    * sequence of adds is EXACTLY the lists of one monolithic build over the
+    * union corpus with the same centroids (IvfIndexAddSpec pins probe
+    * bit-equality), because cell assignment is a pure function of
+    * (vector, centroids). `listCap` hash-thins per CALL — a cap that must
+    * bind globally needs a rebuild, which is also when retraining is due.
+    */
+  def add(spark: SparkSession, path: String, vectors: DataFrame, listCap: Int = 100000): Unit = {
+    val h = load(spark, path)
+    Ann.buildLists(vectors, h.centroids, listCap)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
+  }
+
   def load(spark: SparkSession, path: String): Handle = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell")

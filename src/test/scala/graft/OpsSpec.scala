@@ -148,6 +148,33 @@ class OpsSpec extends AnyFunSuite {
       s"expected cell partition filter in:\n${plan.take(2000)}")
   }
 
+  test("IvfIndex.add: build(half) + add(half) probes bit-identical to the monolithic " +
+    "build under the same frozen centroids; pruning intact on the appended layout") {
+    import graft.ops.IvfIndex
+    val corpus = mkVecs(240, 16, 43L).toDF("id", "vec").cache()
+    val queries = mkVecs(240, 16, 43L).filter(_._1.stripPrefix("v").toInt % 60 == 0).toDF("id", "vec")
+    // centroids trained over the FULL corpus once (the serving contract:
+    // train once, add forever); lists arrive in two installments
+    val centroids = Ann.trainCentroids(corpus, nCells = 12)
+    val half1 = corpus.where(pmod(xxhash64(col("id")), lit(2)) === 0)
+    val half2 = corpus.where(pmod(xxhash64(col("id")), lit(2)) === 1)
+
+    val mono = IvfIndex.topK(
+      queries, IvfIndex.Handle(centroids, Ann.buildLists(corpus, centroids)), k = 3, nProbe = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-add").toString + "/idx"
+    IvfIndex.save(spark, IvfIndex.Handle(centroids, Ann.buildLists(half1, centroids)), path)
+    IvfIndex.add(spark, path, half2)
+    val viaAdd = IvfIndex.topK(queries, IvfIndex.load(spark, path), k = 3, nProbe = 2)
+    val got = viaAdd.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == mono,
+      s"add-path probe must equal monolithic build; diff=${(mono -- got).take(3)} | ${(got -- mono).take(3)}")
+    val plan = viaAdd.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"expected cell partition filter on the appended layout:\n${plan.take(2000)}")
+  }
+
   test("embedding near-dup pairs finds planted duplicates") {
     val base = mkVecs(100, 16, 13L)
     val dups = base.take(10).map { case (id, v) => (id + "_d", v.map(x => x + 0.005f)) }
