@@ -294,7 +294,7 @@ object Bench {
     // VM's shared memory bus still feeds at near-ideal rate (see controls —
     // at 8 threads the bus itself caps scaling well below 0.8, which the
     // secondary scaling_2_8 object and its cpu/mem controls quantify)
-    val blocks = Seq(
+    val blocks = (Seq(
       Some(f""""queries":$qs"""),
       if (qErrs.nonEmpty) Some(s""""query_errors":$qe""") else None,
       Some(s""""query_reps":$queryReps"""),
@@ -310,7 +310,7 @@ object Bench {
         Some(unqualified.toSeq.sorted.map(c => f""""$c":${wall(c)}%.2f""")
           .mkString(""""unqualified_levels":{""", ",", "}"))
       else None
-    ).flatten
+    )).flatten
 
     // the complete artifact goes to a FILE — the driver's stdout tail capture
     // is ~2 KB and round 3's full 49-query line outgrew it (BENCH_r03.json
@@ -333,14 +333,14 @@ object Bench {
           f""""wall_sec_4n":${wall(n4)}%.1f,"efficiency":${adjusted(n, n4)}%.3f,""" +
           f""""efficiency_raw_wall":${wall(n) / wall(n4) / 4.0}%.3f}""")
       else None
-    val compact = Seq(
+    val compact = (Seq(
       Some(f""""queries":$qs"""),
       Some(s""""sf":"$sfDir""""),
       Some(f""""dedup":{"turns":$nTurns,"cores":$headCores,"wall_sec":$tHead%.2f,"turns_per_sec":${nTurns / tHead}%.1f}""")
     ) ++ scalingPairs.map { case (k, n, n4) => shortScaling(k, n, n4) } ++ Seq(
       Some(f""""probe_gate":{"max_probe_mbps":$maxProbe%.0f,"qualified_runs":$nQualifiedRuns,"total_runs":${runs.size}}"""),
       Some(s""""file":"$outPath"""")
-    ).flatten
+    )).flatten
     println(
       f"""{"metric":"e2e_dedup+queries","value":$total%.2f,"unit":"sec",""" + compact.mkString(",") + "}"
     )

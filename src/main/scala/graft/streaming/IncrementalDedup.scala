@@ -213,7 +213,10 @@ object IncrementalDedup {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"${stores.pairStore}_ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (n, p) = processBatch(spark, batch, stores, cfg)
+        // batchId as the ingest stamp: stable across foreachBatch RETRIES
+        // (a wall-clock stamp would re-mark replayed pairs as new), monotone
+        // across batches — exactly what refreshClusters' high-water needs
+        val (n, p) = processBatch(spark, batch, stores, cfg, batchSeq = batchId)
         println(s"[stream] batch $batchId: $n convs, $p new pairs")
       }
       .start()
