@@ -13,7 +13,13 @@ import graft.pipeline.Dedup
   *
   *   - `readStream` over the transcripts directory; per micro-batch,
   *     complete conversations are assembled and signed exactly like batch
-  *     (same ShingleHashes/MinHash/SimHash/anchor expressions);
+  *     (same ShingleHashes/MinHash/SimHash/anchor expressions). Ingests
+  *     whose files chop a conversation across micro-batches front the
+  *     pipeline with [[ConvAssembly.completeConversations]] (see
+  *     [[runAvailableNow]]'s `assembleIdleGapSec`), which buffers turns in
+  *     keyed state until the watermark proves the conversation complete —
+  *     signing a PREFIX of a conversation would poison the append-once
+  *     signature store;
   *   - a persistent BUCKET store (pass, bucket, conv_id, payload),
   *     hash-shard-partitioned on disk so per-batch reads prune to the
   *     directories the batch's keys hash into, accumulates
@@ -116,6 +122,10 @@ object IncrementalDedup {
       cfg: Dedup.Config,
       batchSeq: Long = System.currentTimeMillis()
   ): (Long, Long) = {
+    // an upstream assembly stage can hold EVERY turn back while watermarks
+    // catch up: appending row-less frames would leave schema-less store
+    // directories (only _SUCCESS) that break the next batch's read
+    if (batch.isEmpty) return (0L, 0L)
     val docs = Dedup.assemble(batch)
     val newSigs = Dedup.signatures(Dedup.shingle(docs, cfg), cfg).cache()
     val nNew = newSigs.count()
@@ -196,20 +206,35 @@ object IncrementalDedup {
 
   /** Drive the incremental pipeline over everything currently in `inputDir`
     * (AvailableNow: consume the backlog as micro-batches, then stop).
+    *
+    * `assembleIdleGapSec`: when set, a [[ConvAssembly.completeConversations]]
+    * stage buffers turns in keyed state and releases each conversation only
+    * once the watermark proves it complete — lifting processBatch's
+    * whole-conversations-per-file contract for ingests that chop a
+    * conversation across files. Trailing conversations stay in the state
+    * checkpoint until a later run's watermark passes them (AvailableNow
+    * drains the backlog, not the horizon).
     */
   def runAvailableNow(
       spark: SparkSession,
       inputDir: String,
       stores: Stores,
       cfg: Dedup.Config = Dedup.Config(),
-      maxFilesPerTrigger: Int = 4
+      maxFilesPerTrigger: Int = 4,
+      assembleIdleGapSec: Option[Long] = None,
+      assembleWatermarkDelay: String = "1 hour"
   ): Unit = {
     val schema = spark.read.parquet(inputDir).schema
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
-    val q = stream.writeStream
+    val source = assembleIdleGapSec match {
+      case Some(gap) =>
+        ConvAssembly.completeConversations(stream, gap, assembleWatermarkDelay).toDF()
+      case None => stream
+    }
+    val q = source.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"${stores.pairStore}_ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -57,6 +57,115 @@ class StreamingSpec extends AnyFunSuite {
     assert(clusters.count() == transcripts.select("conv_id").distinct().count())
   }
 
+  test("ConvAssembly: a conversation split across files is released complete, " +
+    "exactly once; post-close stragglers are counted and dropped") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val h = 3600 * 1000L
+    def row(c: String, i: Int, off: Long) =
+      (c, i, "user", s"text $c $i", null: String, new java.sql.Timestamp(t0 + off))
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val tmp = Files.createTempDirectory("graft-asm").toString
+    val dropped = spark.sparkContext.longAccumulator("dropped_late_turns")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq(row("s", 0, 0)).toDF(cols: _*).schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = graft.streaming.ConvAssembly
+        .completeConversations(stream, idleGapSec = 300, watermarkDelay = "1 hour",
+          droppedLateTurns = Some(dropped))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def write(rows: Seq[(String, Int, String, String, String, java.sql.Timestamp)]): Unit =
+      rows.toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+
+    // x's four turns arrive in TWO files; y is single-turn
+    write(Seq(row("x", 0, 0), row("x", 1, 60000), row("y", 0, 0)))
+    write(Seq(row("x", 2, 120000), row("x", 3, 180000)))
+    runOnce()
+    // nothing may release before the watermark proves completeness (an
+    // uncommitted streaming sink may not even infer a schema yet)
+    val preRelease = scala.util.Try(
+      spark.read.parquet(s"$tmp/out").where(col("conv_id").isin("x", "y")).count()
+    ).getOrElse(0L)
+    assert(preRelease == 0, s"released $preRelease rows before the watermark proved completeness")
+
+    write(Seq(row("zz_flush", 0, 100 * h))) // watermark -> t0 + 99h
+    runOnce()
+    val afterFlush = spark.read.parquet(s"$tmp/out")
+      .as[graft.synth.Turn].collect().filter(t => t.conv_id == "x" || t.conv_id == "y")
+    assert(afterFlush.count(_.conv_id == "x") == 4 &&
+      afterFlush.count(_.conv_id == "y") == 1,
+      s"complete release expected, got ${afterFlush.toSeq}")
+    assert(afterFlush.filter(_.conv_id == "x").map(t => (t.turn_idx, t.text)).sorted.toSeq ==
+      (0 to 3).map(i => (i, s"text x $i")))
+
+    // a straggler INSIDE the watermark horizon but after x closed: dropped +
+    // counted, never re-emitted as a duplicate partial conversation
+    write(Seq(row("x", 9, (99 * 3600 + 1800) * 1000L)))
+    write(Seq(row("zz_flush2", 0, 200 * h)))
+    runOnce()
+    val finalX = spark.read.parquet(s"$tmp/out").where(col("conv_id") === "x").count()
+    assert(finalX == 4, s"straggler must not re-emit x (got $finalX rows)")
+    assert(dropped.value == 1, s"dropped-late accumulator: ${dropped.value}")
+
+    // batch parity: a static frame is complete by definition
+    val statics = Seq(row("b1", 0, 0), row("b1", 1, 60000), row("b2", 0, 0)).toDF(cols: _*)
+    assert(graft.streaming.ConvAssembly.completeConversations(statics).count() == 3)
+  }
+
+  test("runAvailableNow with assembly: files split MID-conversation still yield " +
+    "batch-identical pairs and one signature per conversation") {
+    import spark.implicits._
+    val scfg = Synth.Config(nClusters = 60, boilerClusters = 1, boilerSize = 6)
+    val cfg = Dedup.Config()
+    val t0 = 1700000000000L
+    // controlled event times: turns of a conv within minutes of each other
+    val transcripts = Synth.transcripts(spark, scfg).toDF
+      .withColumn("ts", expr(s"timestamp_millis(${t0}L + turn_idx * 60000L)"))
+      .cache()
+    val batchPairs = Dedup.run(spark, transcripts, cfg).pairs
+      .select(col("id1"), col("id2")).cache()
+    assert(batchPairs.count() > 20)
+
+    // chop EVERY conversation across 3 files (by turn index), the layout the
+    // plain ingest contract cannot handle
+    val tmp = Files.createTempDirectory("graft-asm-e2e").toString
+    val inDir = s"$tmp/in"
+    transcripts.withColumn("part", col("turn_idx") % 3)
+      .repartition(3, col("part")).drop("part")
+      .write.parquet(inDir)
+    // flusher conversation far in the future drives the watermark past every
+    // real conversation's completeness deadline
+    Seq(("zz_flush", 0, "user", "flush", null: String,
+      new java.sql.Timestamp(t0 + 1000L * 3600 * 1000)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .coalesce(1).write.mode("append").parquet(inDir)
+
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+    IncrementalDedup.runAvailableNow(spark, inDir, stores, cfg,
+      maxFilesPerTrigger = 1, assembleIdleGapSec = Some(600))
+    // drain: a second run's no-data/timeout batches release anything pending
+    IncrementalDedup.runAvailableNow(spark, inDir, stores, cfg,
+      maxFilesPerTrigger = 1, assembleIdleGapSec = Some(600))
+
+    val sigRows = spark.read.parquet(stores.sigStore)
+      .groupBy(col("conv_id")).count().where(col("count") > 1).count()
+    assert(sigRows == 0, s"$sigRows conversations signed more than once")
+    val streamPairs = spark.read.parquet(stores.pairStore)
+      .select(col("id1"), col("id2")).distinct()
+      .where(col("id1") =!= "zz_flush" && col("id2") =!= "zz_flush")
+    val missing = batchPairs.exceptAll(streamPairs).count()
+    val extra = streamPairs.exceptAll(batchPairs).count()
+    info(s"assembled-stream pairs vs batch: missing=$missing extra=$extra")
+    assert(missing == 0 && extra == 0,
+      s"assembled stream must match batch exactly: missing=$missing extra=$extra")
+  }
+
   test("per-batch shuffle volume stays ~flat while the stores grow (scheme-qualified paths)") {
     val scfg = Synth.Config(nClusters = 160, boilerClusters = 1, boilerSize = 8)
     val cfg = Dedup.Config()
