@@ -53,7 +53,12 @@ object SparkEntry {
     */
   private val goldenRunCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Dedup.Result]()
-  private def goldenRun(spark: SparkSession): Dedup.Result =
+  private def goldenRun(spark: SparkSession): Dedup.Result = {
+    // a long-lived JVM (sbt, an embedding server) creates and stops many
+    // sessions: drop entries whose session is gone so the map cannot retain
+    // stopped sessions + their results for the process lifetime (outside
+    // computeIfAbsent — its mapping function must not touch other keys)
+    goldenRunCache.keySet.removeIf(old => (old ne spark) && old.sparkContext.isStopped)
     goldenRunCache.computeIfAbsent(spark, s => {
       val cfg = Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 12)
       val r = Dedup.run(s, Synth.transcripts(s, cfg).toDF, Dedup.Config())
@@ -61,6 +66,7 @@ object SparkEntry {
       r.clusters.cache()
       r
     })
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / filters / projections (S3, P1, P2; predicate+projection pushdown)

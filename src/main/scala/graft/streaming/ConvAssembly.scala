@@ -63,6 +63,12 @@ object ConvAssembly {
     val streaming = turns.isStreaming
 
     turns
+      // a null ts cannot be placed against the watermark and a null conv_id
+      // cannot cluster: drop both up front (the batch pipeline's assemble
+      // applies the same conv_id rule) — one malformed row must not become
+      // a poison pill the checkpoint replays forever
+      .where(org.apache.spark.sql.functions.col("ts").isNotNull &&
+        org.apache.spark.sql.functions.col("conv_id").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[Turn]
       .groupByKey(_.conv_id)

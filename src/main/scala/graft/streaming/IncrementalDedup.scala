@@ -83,10 +83,57 @@ object IncrementalDedup {
   /** Store existence through the Hadoop FileSystem API — the stores live
     * wherever the warehouse lives (hdfs://, s3a://, file:/), so a java.io
     * local-path check would be wrong everywhere but a single machine.
+    *
+    * Doubles as [[compact]]'s crash recovery point: a compaction killed
+    * between its two renames leaves the store at `<path>__compact_old` and
+    * nothing at `<path>` — treating that as "no store" would silently
+    * restart dedup history (and the next compaction would DELETE the only
+    * surviving copy). Every store access funnels through here, so the
+    * aside copy is restored before anyone can misread the gap.
     */
-  private def storeExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def storeExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val aside = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (!fs.exists(p) && fs.exists(aside)) {
+      require(fs.rename(aside, p), s"compact-crash recovery: cannot restore $aside to $p")
+    }
+    fs.exists(p)
+  }
+
+  /** Persisted store layout contract (`<sigStore>__meta`, one JSON line):
+    * shard counts are baked into the directory layout at first write, so a
+    * later run opening the stores with DIFFERENT counts would hash keys into
+    * shards the pruned reads never visit — silently losing candidates. The
+    * meta file makes the mismatch a loud error instead.
+    */
+  private def metaPath(stores: Stores) = new org.apache.hadoop.fs.Path(stores.sigStore + "__meta")
+
+  private[graft] def validateOrWriteMeta(spark: SparkSession, stores: Stores): Unit = {
+    val mp = metaPath(stores)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(mp)) {
+      val in = fs.open(mp)
+      val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+      val m = """"bucketShards"\s*:\s*(\d+).*"sigShards"\s*:\s*(\d+)""".r.unanchored
+      line match {
+        case m(b, s) =>
+          require(b.toInt == stores.bucketShards && s.toInt == stores.sigShards,
+            s"store at ${stores.sigStore} was laid out with bucketShards=$b/sigShards=$s; " +
+              s"this run configured ${stores.bucketShards}/${stores.sigShards} — shard counts are " +
+              "part of the on-disk layout and cannot change without a rebuild")
+        case _ => sys.error(s"unreadable store meta $mp: '$line'")
+      }
+    } else if (storeExists(spark, stores.sigStore) || storeExists(spark, stores.bucketStore)) {
+      sys.error(s"stores at ${stores.sigStore} exist without a layout meta file ($mp): " +
+        "created by an incompatible (pre-sharding) version — rebuild the stores")
+    } else {
+      val out = fs.create(mp, true)
+      try out.write(
+        s"""{"bucketShards":${stores.bucketShards},"sigShards":${stores.sigShards}}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** All bucket entries of a signature frame, tagged by pass. */
@@ -126,9 +173,29 @@ object IncrementalDedup {
     // catch up: appending row-less frames would leave schema-less store
     // directories (only _SUCCESS) that break the next batch's read
     if (batch.isEmpty) return (0L, 0L)
-    val docs = Dedup.assemble(batch)
+    validateOrWriteMeta(spark, stores)
+    val assembled = Dedup.assemble(batch)
+    // idempotent ingest: drop conversations the signature store already
+    // holds (replayed files after a checkpoint reset, backfill overlap, a
+    // post-TTL assembly straggler re-opening a closed conv) — the store is
+    // append-once per conv_id BY CONSTRUCTION, not by delivery discipline.
+    // The check reads only the batch's shard directories (pruned), like the
+    // verify path below.
+    val docs =
+      if (!storeExists(spark, stores.sigStore)) assembled
+      else {
+        val shards = assembled
+          .select(pmod(xxhash64($"conv_id"), lit(stores.sigShards)).as("s"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        assembled.join(
+          prunedRead(spark, stores.sigStore, "sshard", shards, stores.sigShards)
+            .select($"conv_id"),
+          Seq("conv_id"),
+          "left_anti")
+      }
     val newSigs = Dedup.signatures(Dedup.shingle(docs, cfg), cfg).cache()
     val nNew = newSigs.count()
+    if (nNew == 0) { newSigs.unpersist(); return (0L, 0L) } // batch already ingested
 
     // (a) new x new — the batch generator over just this batch's signatures
     // (identical chunk-cap semantics to the batch pipeline, one shuffle)
@@ -236,7 +303,14 @@ object IncrementalDedup {
     }
     val q = source.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"${stores.pairStore}_ckpt")
+      // the checkpoint is keyed by query TOPOLOGY: toggling the assembly
+      // stage changes the stateful-operator layout, and Spark refuses to
+      // restore a checkpoint across that change. A separate checkpoint per
+      // topology replays the input instead — safe, because processBatch's
+      // sig-store anti-join makes re-ingestion a no-op per conversation.
+      .option("checkpointLocation",
+        if (assembleIdleGapSec.isDefined) s"${stores.pairStore}_ckpt_assembled"
+        else s"${stores.pairStore}_ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batchId as the ingest stamp: stable across foreachBatch RETRIES
         // (a wall-clock stamp would re-mark replayed pairs as new), monotone
@@ -297,6 +371,10 @@ object IncrementalDedup {
     */
   private def compact(
       spark: SparkSession, path: String, partCol: Option[String], n: Int): Unit = {
+    // storeExists FIRST: it also recovers a compaction that crashed between
+    // the two renames below (restoring <path>__compact_old to <path>), so
+    // the aside deletion here can only ever remove a STALE copy left by a
+    // fully completed prior swap — never the lone surviving store
     if (!storeExists(spark, path)) return
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

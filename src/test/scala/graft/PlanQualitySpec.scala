@@ -123,4 +123,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!s.contains("Exchange rangepartitioning") && !s.contains("CartesianProduct"),
       s"q26 must not globally sort:\n${s.take(2000)}")
   }
+
+  test("conversation assembly: one keyed shuffle into the per-conv state pass") {
+    import spark.implicits._
+    val turns = graft.synth.Synth
+      .transcripts(spark, graft.synth.Synth.Config(nClusters = 20)).toDF()
+    val df = graft.streaming.ConvAssembly.completeConversations(turns).toDF()
+    val s = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"assembly must shuffle once on conv_id:\n${s.take(3000)}")
+    assert(!s.contains("Exchange rangepartitioning") && !s.contains("CartesianProduct"),
+      s"assembly must not globally sort:\n${s.take(2000)}")
+  }
 }

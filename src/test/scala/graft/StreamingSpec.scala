@@ -334,6 +334,130 @@ class StreamingSpec extends AnyFunSuite {
     assert(newPairs < allPairs)
   }
 
+  test("re-ingesting stored conversations is a per-conv no-op (replay / backfill overlap)") {
+    val scfg = Synth.Config(nClusters = 60, boilerClusters = 1, boilerSize = 6)
+    val cfg = Dedup.Config()
+    val transcripts = Synth.transcripts(spark, scfg).toDF
+      .withColumn("part", pmod(xxhash64(col("conv_id")), lit(2))).cache()
+    val tmp = Files.createTempDirectory("graft-idem").toString
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+    val b0 = transcripts.where(col("part") === 0).drop("part")
+    val b1 = transcripts.where(col("part") === 1).drop("part")
+    val (n0, _) = IncrementalDedup.processBatch(spark, b0, stores, cfg, batchSeq = 0)
+    assert(n0 > 0)
+    val sigs0 = spark.read.parquet(stores.sigStore).count()
+    val pairs0 = spark.read.parquet(stores.pairStore).count()
+    // exact replay (checkpoint reset / re-delivered file): nothing re-signs
+    val (nr, pr) = IncrementalDedup.processBatch(spark, b0, stores, cfg, batchSeq = 1)
+    assert(nr == 0 && pr == 0, s"replay must be a no-op, got ($nr, $pr)")
+    assert(spark.read.parquet(stores.sigStore).count() == sigs0)
+    assert(spark.read.parquet(stores.pairStore).count() == pairs0)
+    // overlapping backfill (old half ∪ new half): only the new convs sign
+    val (n1, _) =
+      IncrementalDedup.processBatch(spark, transcripts.drop("part"), stores, cfg, batchSeq = 2)
+    assert(n1 == b1.select("conv_id").distinct().count())
+    val multi = spark.read.parquet(stores.sigStore)
+      .groupBy(col("conv_id")).count().where(col("count") > 1).count()
+    assert(multi == 0, s"$multi conversations signed more than once")
+    // dedup result unharmed by the replays: pair set == batch pipeline's
+    val batchPairs = Dedup.run(spark, transcripts.drop("part"), cfg).pairs
+      .select(col("id1"), col("id2"))
+    val streamPairs = spark.read.parquet(stores.pairStore)
+      .select(col("id1"), col("id2")).distinct()
+    assert(batchPairs.exceptAll(streamPairs).count() == 0 &&
+      streamPairs.exceptAll(batchPairs).count() == 0)
+  }
+
+  test("store layout meta: shard-count mismatch and missing meta fail loudly") {
+    val cfg = Dedup.Config()
+    val transcripts =
+      Synth.transcripts(spark, Synth.Config(nClusters = 20, boilerClusters = 1, boilerSize = 4)).toDF
+    val tmp = Files.createTempDirectory("graft-meta").toString
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+    IncrementalDedup.processBatch(spark, transcripts, stores, cfg)
+    // identical counts reopen fine
+    IncrementalDedup.validateOrWriteMeta(spark, stores)
+    // different counts would hash keys into shard dirs the pruned reads skip
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.validateOrWriteMeta(spark, stores.copy(bucketShards = 32))
+    }
+    assert(e.getMessage.contains("shard counts"), e.getMessage)
+    // pre-sharding stores (no meta) are refused, not silently mis-read
+    val mp = new org.apache.hadoop.fs.Path(s"$tmp/sigs__meta")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(mp, false))
+    val e2 = intercept[RuntimeException] {
+      IncrementalDedup.validateOrWriteMeta(spark, stores)
+    }
+    assert(e2.getMessage.contains("without a layout meta"), e2.getMessage)
+  }
+
+  test("compaction crash between renames is recovered; stale asides are cleaned") {
+    val cfg = Dedup.Config()
+    val transcripts =
+      Synth.transcripts(spark, Synth.Config(nClusters = 40, boilerClusters = 1, boilerSize = 4)).toDF
+    val tmp = Files.createTempDirectory("graft-crash").toString
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+    IncrementalDedup.processBatch(spark, transcripts, stores, cfg)
+    val pairs0 = spark.read.parquet(stores.pairStore).count()
+    assert(pairs0 > 0)
+    val p = new org.apache.hadoop.fs.Path(stores.pairStore)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val aside = new org.apache.hadoop.fs.Path(stores.pairStore + "__compact_old")
+    // simulate a compaction killed between its two renames: the only copy of
+    // the store lives at the aside path
+    assert(fs.rename(p, aside))
+    assert(IncrementalDedup.storeExists(spark, stores.pairStore),
+      "recovery must restore the aside copy before anyone reads the gap as 'no store'")
+    assert(!fs.exists(aside))
+    assert(spark.read.parquet(stores.pairStore).count() == pairs0)
+    // a stale aside NEXT TO a healthy store (crash after the swap, before the
+    // aside delete) is removed by the next compaction, never swapped back in
+    assert(fs.mkdirs(aside))
+    IncrementalDedup.compactStores(spark, stores)
+    assert(!fs.exists(aside))
+    assert(spark.read.parquet(stores.pairStore).count() == pairs0)
+  }
+
+  test("assembly drops null-ts / null-conv_id rows instead of poisoning the checkpoint") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    def ts(off: Long) = new java.sql.Timestamp(t0 + off)
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val df = Seq(
+      ("good", 0, "user", "hello", null: String, ts(0)),
+      ("good", 1, "assistant", "hi", null: String, ts(60000)),
+      (null: String, 0, "user", "orphan", null: String, ts(0)),
+      ("noclock", 0, "user", "unplaceable", null: String, null: java.sql.Timestamp)
+    ).toDF(cols: _*)
+    // batch parity: malformed rows dropped, the good conversation is complete
+    val batchOut = graft.streaming.ConvAssembly.completeConversations(df).collect()
+    assert(batchOut.length == 2 && batchOut.forall(_.conv_id == "good"),
+      s"batch assembly must keep exactly the good rows: ${batchOut.toSeq}")
+
+    // streaming: the malformed rows must not crash the keyed state pass or
+    // wedge the checkpoint on replay — the good conversation still releases
+    val tmp = Files.createTempDirectory("graft-nulls").toString
+    df.coalesce(1).write.parquet(s"$tmp/in")
+    Seq(("zz_flush", 0, "user", "flush", null: String, ts(1000L * 3600 * 1000)))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = graft.streaming.ConvAssembly.completeConversations(stream, idleGapSec = 300)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce(); runOnce() // the second run's no-data batch fires pending timeouts
+    val streamed = spark.read.parquet(s"$tmp/out").as[graft.synth.Turn].collect()
+      .filter(_.conv_id != "zz_flush")
+    assert(streamed.length == 2 && streamed.forall(_.conv_id == "good"),
+      s"streamed release wrong: ${streamed.toSeq}")
+  }
+
   // deterministic event corpus for the §2.10 window/state operators:
   // per-user cumulative random steps (0..60 min) guarantee plenty of
   // >=30-min session gaps; one far-future sentinel per user closes every
