@@ -453,6 +453,77 @@ object SparkEntry {
         .select($"doc_id", graft.ops.TextAnalysis.subwordCount($"text").as("n_subwords"))
     }),
 
+    // ---- train/eval DECONTAMINATION: flag training docs that near-duplicate
+    // a doc of the held-out eval suite (n-gram Jaccard, same 3-gram sets as
+    // d02). The 100 TB shape: eval suites are small and bounded, so the eval
+    // side BROADCASTS and the training corpus streams map-side through the
+    // overlap check — no shuffle until the per-train-doc argmax. score_ppm is
+    // integer-division Jaccard in parts-per-million (engine-exact).
+    "d08_decontaminate" -> ((s, d) => {
+      val grams = array_distinct(
+        transform(
+          sequence(lit(0), size(split($"text", " ")) - 3),
+          i => concat_ws(" ", slice(split($"text", " "), i + 1, lit(3)))
+        )
+      )
+      val docs = t(s, d, "documents").select($"doc_id", $"source", grams.as("sh"))
+      val evalSet = docs.where($"source" === "src0" && $"doc_id" % 5 === 0)
+        .select($"doc_id".as("eval_id"), $"sh".as("esh"))
+      val train = docs.where($"source" =!= "src0")
+        .select($"doc_id".as("train_id"), $"sh".as("tsh"))
+      val scored = train.crossJoin(broadcast(evalSet))
+        .select(
+          $"train_id",
+          $"eval_id",
+          size(array_intersect($"tsh", $"esh")).as("inter"),
+          size(array_union($"tsh", $"esh")).as("uni")
+        )
+        .where($"inter" > 0)
+        .withColumn("score_ppm", expr("(CAST(inter AS BIGINT) * 1000000) div uni"))
+      val w = Window.partitionBy($"train_id").orderBy($"score_ppm".desc, $"eval_id")
+      scored
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select(
+          $"train_id",
+          $"eval_id",
+          $"score_ppm",
+          when($"score_ppm" >= 500000, 1).otherwise(0).as("contaminated")
+        )
+    }),
+
+    // ---- deterministic stratified sampling (training-data curation):
+    // hash-bucket each doc by md5(doc_id) and keep per-stratum rates (50% of
+    // 'en', 80% of everything else — downweight the dominant language). Pure
+    // map-side filter: no shuffle, pushdown-friendly, and REPRODUCIBLE — the
+    // same doc always draws the same bucket, so reruns/backfills agree
+    // (seeded `sample()` depends on partitioning; a content hash does not)
+    "d09_sample_stratified" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn(
+          "bucket",
+          conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10).cast("long") % 100
+        )
+        .where(($"lang" === "en" && $"bucket" < 50) || ($"lang" =!= "en" && $"bucket" < 80))
+        .select($"doc_id", $"lang", $"source", $"bucket")
+    }),
+
+    // ---- token-budget shard packing: greedy prefix packing of each source's
+    // docs into ~512-token training shards (running token sum over the
+    // deterministic doc_id order; shard = how many full budgets precede the
+    // doc). One keyed shuffle per source — the per-source window is the
+    // partition-parallel form; a GLOBAL packing order would be a
+    // single-partition sort bottleneck at scale
+    "t03_token_packing" -> ((s, d) => {
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("n_tokens", size(split($"text", " ")))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .withColumn("shard", expr("CAST(cum - n_tokens AS BIGINT) div 512"))
+        .select($"doc_id", $"source", $"n_tokens", $"shard")
+    }),
+
     // ---- sign-LSH bucketed ANN over embeddings (rows-only approximate op)
     "a02_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings").select($"vec_id".cast("string").as("id"), $"embedding".as("vec"))
@@ -1023,6 +1094,44 @@ object SparkEntry {
         |  CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
         |    ['the', 'a', 'of', 'and', 'to'])) >= 1 THEN 'en' ELSE 'other' END AS lang_guess
         |FROM documents""".stripMargin,
+    "d08_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS grams
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |    len(list_intersect(t.grams, e.grams)) AS inter,
+        |    len(list_distinct(list_concat(t.grams, e.grams))) AS uni
+        |  FROM sh t JOIN sh e
+        |    ON t.source <> 'src0' AND e.source = 'src0' AND e.doc_id % 5 = 0
+        |  WHERE len(list_intersect(t.grams, e.grams)) > 0),
+        |scored AS (
+        |  SELECT train_id, eval_id,
+        |    (inter::BIGINT * 1000000) // uni AS score_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY train_id
+        |      ORDER BY (inter::BIGINT * 1000000) // uni DESC, eval_id) AS rn
+        |  FROM pairs)
+        |SELECT train_id, eval_id, score_ppm,
+        |  CASE WHEN score_ppm >= 500000 THEN 1 ELSE 0 END AS contaminated
+        |FROM scored WHERE rn = 1""".stripMargin,
+    "d09_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, source, bucket FROM b
+        |WHERE (lang = 'en' AND bucket < 50) OR (lang <> 'en' AND bucket < 80)""".stripMargin,
+    "t03_token_packing" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        |  ((cum - n_tokens)::BIGINT // 512) AS shard
+        |FROM c""".stripMargin,
     "t01_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -124,6 +124,36 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q26 must not globally sort:\n${s.take(2000)}")
   }
 
+  test("decontamination broadcasts the eval suite; no shuffle-side cartesian") {
+    val df = SparkEntry.queries("d08_decontaminate")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    // the eval side is small by contract: it must BROADCAST (nested-loop over
+    // a broadcast relation is the streamed map-side overlap check), never
+    // shuffle both sides into a cartesian
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"d08 must broadcast the eval set:\n${s.take(3000)}")
+    assert(!s.contains("CartesianProduct"), s"d08 plans a cartesian:\n${s.take(2000)}")
+    // exactly one keyed shuffle: the per-train-doc argmax window
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"d08 must shuffle once on train_id:\n${s.take(3000)}")
+  }
+
+  test("stratified sampling is a pure map-side filter (no shuffle, no join)") {
+    val df = SparkEntry.queries("d09_sample_stratified")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange") && !s.contains("Join"),
+      s"d09 must be filter-over-scan only:\n${s.take(2000)}")
+  }
+
+  test("token packing: one keyed shuffle per source, local sort only") {
+    val df = SparkEntry.queries("t03_token_packing")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"t03 must shuffle once on source:\n${s.take(3000)}")
+    assert(!s.contains("Exchange rangepartitioning") && !s.contains("CartesianProduct"),
+      s"t03 must not globally sort:\n${s.take(2000)}")
+  }
+
   test("conversation assembly: one keyed shuffle into the per-conv state pass") {
     import spark.implicits._
     val turns = graft.synth.Synth
