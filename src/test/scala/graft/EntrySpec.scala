@@ -1,9 +1,12 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver's flagship smoke contract: SparkEntry.entry(spark) must return
-  * a non-empty DataFrame (the dedup cluster assignment).
+  * a non-empty DataFrame (the dedup cluster assignment) — plus planted-truth
+  * semantics for the curation queries whose DuckDB oracles only prove
+  * engine-equality, not intent.
   */
 class EntrySpec extends AnyFunSuite {
   lazy val spark = Sessions.local(4, "entry-spec")
@@ -12,5 +15,78 @@ class EntrySpec extends AnyFunSuite {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSet == Set("conv_id", "component"))
     assert(df.count() > 0)
+  }
+
+  /** Planted documents table: a copied eval doc, a paraphrase-free train doc,
+    * and a doc matching only an eval doc OUTSIDE the sampled suite.
+    */
+  private lazy val plantedDocs: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    val x = "alpha beta gamma delta epsilon zeta eta theta"
+    val r = "p q r s t p q r"
+    Seq(
+      (0L, x, "en", "src0"),                        // eval suite member (0 % 5 == 0)
+      (7L, r, "en", "src0"),                        // src0 but NOT sampled (7 % 5 != 0)
+      (101L, x, "en", "src1"),                      // exact copy of eval doc 0
+      (102L, "z y x w v u t s", "de", "src2"),      // shares no 3-gram with anything
+      (104L, r, "en", "src3")                       // copies only the UNSAMPLED eval doc
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("d08: a train doc copying an eval doc is flagged; misses stay silent") {
+    val out = SparkEntry.queries("d08_decontaminate")(spark, plantedDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // 101 copies eval doc 0 verbatim: jaccard 1.0 -> 1,000,000 ppm, flagged
+    assert(out.toSet == Set((101L, 0L, 1000000L, 1)),
+      s"exactly the planted contamination must surface: ${out.toSeq}")
+    // 102 (no overlap) and 104 (overlaps only the unsampled eval doc) absent
+  }
+
+  test("d09: sampling is deterministic, bucket-bounded, and per-stratum") {
+    val q = SparkEntry.queries("d09_sample_stratified")(spark, plantedDocs)
+    val a = q.collect().map(_.toString).sorted.toSeq
+    val b = SparkEntry.queries("d09_sample_stratified")(spark, plantedDocs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "hash-bucket sampling must be reproducible run-over-run")
+    val rows = q.collect()
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 100))
+    assert(rows.filter(_.getString(1) == "en").forall(_.getLong(3) < 50),
+      "'en' stratum keeps only buckets < 50")
+    assert(rows.filter(_.getString(1) != "en").forall(_.getLong(3) < 80),
+      "other strata keep buckets < 80")
+  }
+
+  test("t03: shards are contiguous per source and never exceed budget + one doc") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    val r = new scala.util.Random(5)
+    (0 until 400).map { i =>
+      val words = Seq.fill(10 + r.nextInt(120))("w").mkString(" ")
+      (i.toLong, words, "en", s"src${i % 4}")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("t03_token_packing")(spark, tmp)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val byId = docs.sortBy(_._2)
+      // greedy prefix packing: shard ids nondecreasing in doc order, no gaps
+      val shards = byId.map(_._4)
+      assert(shards.zip(shards.tail).forall { case (a, b) => b == a || b == a + 1 || b > a },
+        s"$src shards must be nondecreasing: ${shards.toSeq}")
+      assert(shards.distinct.sorted.toSeq == (0L to shards.max).toSeq,
+        s"$src shard ids must be dense: ${shards.distinct.sorted.toSeq}")
+      // a doc is assigned to the shard its tokens START in, so a shard's sum
+      // can overrun 512 only by the straddling doc's tail
+      byId.groupBy(_._4).foreach { case (sh, ds) =>
+        val sum = ds.map(_._3).sum
+        assert(sum < 512 + ds.map(_._3).max,
+          s"$src shard $sh holds $sum tokens (docs ${ds.map(_._3).toSeq})")
+      }
+    }
   }
 }
