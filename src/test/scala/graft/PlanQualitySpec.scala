@@ -124,18 +124,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q26 must not globally sort:\n${s.take(2000)}")
   }
 
-  test("decontamination broadcasts the eval suite; no shuffle-side cartesian") {
+  test("decontamination is an inverted-index broadcast join, never a cartesian") {
     val df = SparkEntry.queries("d08_decontaminate")(spark, sf)
     val s = df.queryExecution.executedPlan.toString
-    // the eval side is small by contract: it must BROADCAST (nested-loop over
-    // a broadcast relation is the streamed map-side overlap check), never
-    // shuffle both sides into a cartesian
-    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
-      s"d08 must broadcast the eval set:\n${s.take(3000)}")
-    assert(!s.contains("CartesianProduct"), s"d08 plans a cartesian:\n${s.take(2000)}")
-    // exactly one keyed shuffle: the per-train-doc argmax window
-    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
-      s"d08 must shuffle once on train_id:\n${s.take(3000)}")
+    // the eval suite is small by contract: its exploded grams BROADCAST into
+    // a hash join keyed on the gram — only gram hits flow; a nested-loop or
+    // cartesian pairing of whole documents is the per-pair re-evaluation trap
+    assert(s.contains("BroadcastHashJoin"), s"d08 must hash-join on gram:\n${s.take(3000)}")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"d08 must stay keyed:\n${s.take(2000)}")
+    // two keyed shuffles: the (train, eval) match count + the argmax window
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 2,
+      s"d08 must shuffle at most twice:\n${s.take(3000)}")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "match counting must partial-aggregate")
   }
 
   test("stratified sampling is a pure map-side filter (no shuffle, no join)") {
