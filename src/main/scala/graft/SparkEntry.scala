@@ -33,6 +33,22 @@ object SparkEntry {
   /** exact sum of a double column via decimal, emitted as double */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Distinct word 3-gram set of a text column (d02 / d08 shared shape).
+    * The token array is LET-BOUND once per row: interpreted HOF lambdas
+    * re-evaluate argument subtrees per element, so a bare
+    * `slice(split(text), i, 3)` re-splits the whole text for EVERY gram —
+    * O(tokens²) per document (the d06/t01 lesson, ~10x measured).
+    */
+  private def threeGrams(text: Column): Column =
+    T.let(split(text, " ")) { toks =>
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3)))
+        )
+      )
+    }
+
   /** Flagship: full near-dup pipeline on a small deterministic synthetic
     * transcript corpus; returns the cluster assignment (driver smoke-checks
     * rows > 0).
@@ -317,15 +333,7 @@ object SparkEntry {
     "d02_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .filter($"doc_id" % 10 === 0)
-        .select(
-          $"doc_id",
-          array_distinct(
-            transform(
-              sequence(lit(0), size(split($"text", " ")) - 3),
-              i => concat_ws(" ", slice(split($"text", " "), i + 1, lit(3)))
-            )
-          ).as("sh")
-        )
+        .select($"doc_id", threeGrams($"text").as("sh"))
       val a = docs.select($"doc_id".as("id1"), $"sh".as("sh1"))
       val b = docs.select($"doc_id".as("id2"), $"sh".as("sh2"))
       a.crossJoin(b)
@@ -464,13 +472,7 @@ object SparkEntry {
     // re-ran the HOF per pair: 16 s vs ~2 s at sf0.1). score_ppm is
     // integer-division Jaccard in parts-per-million (engine-exact).
     "d08_decontaminate" -> ((s, d) => {
-      val grams = array_distinct(
-        transform(
-          sequence(lit(0), size(split($"text", " ")) - 3),
-          i => concat_ws(" ", slice(split($"text", " "), i + 1, lit(3)))
-        )
-      )
-      val docs = t(s, d, "documents").select($"doc_id", $"source", grams.as("sh"))
+      val docs = t(s, d, "documents").select($"doc_id", $"source", threeGrams($"text").as("sh"))
       val evalG = docs.where($"source" === "src0" && $"doc_id" % 5 === 0)
         .select($"doc_id".as("eval_id"), size($"sh").as("en"), explode($"sh").as("gram"))
       val trainG = docs.where($"source" =!= "src0")
