@@ -33,21 +33,10 @@ object SparkEntry {
   /** exact sum of a double column via decimal, emitted as double */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
-  /** Distinct word 3-gram set of a text column (d02 / d08 shared shape).
-    * The token array is LET-BOUND once per row: interpreted HOF lambdas
-    * re-evaluate argument subtrees per element, so a bare
-    * `slice(split(text), i, 3)` re-splits the whole text for EVERY gram —
-    * O(tokens²) per document (the d06/t01 lesson, ~10x measured).
+  /** Distinct word 3-gram set of a text column — the d02/d08/d10 shared
+    * similarity space (let-bound raw-split k-grams; see T.wordGrams).
     */
-  private def threeGrams(text: Column): Column =
-    T.let(split(text, " ")) { toks =>
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", slice(toks, i + 1, lit(3)))
-        )
-      )
-    }
+  private def threeGrams(text: Column): Column = T.wordGrams(text, 3)
 
   /** Flagship: full near-dup pipeline on a small deterministic synthetic
     * transcript corpus; returns the cluster assignment (driver smoke-checks
@@ -493,6 +482,21 @@ object SparkEntry {
           when($"score_ppm" >= 500000, 1).otherwise(0).as("contaminated")
         )
     }),
+
+    // ---- MinHash-LSH near-dup pairs over the documents table: the SCALE
+    // path for d02's exact-baseline semantics — 32x4 banding over a 128-perm
+    // signature replaces the cross join; sorted-merge gram intersection
+    // keeps the accept predicate exact (integer arithmetic), so the oracle
+    // is the full brute-force Jaccard join re-run by DuckDB
+    "d10_lsh_neardup" -> ((s, d) =>
+      graft.ops.DocNearDup.lshJaccardPairs(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- SimHash Hamming-ball near-dup pairs: 4x16-bit chunk banding is
+    // pigeonhole-EXACT at d<=3, so retrieval is exhaustive by construction;
+    // the oracle re-derives the ENTIRE ball join from the d06-pinned
+    // fingerprints in DuckDB (bit_count(xor))
+    "d11_simhash_neardup" -> ((s, d) =>
+      graft.ops.DocNearDup.simhashHammingPairs(t(s, d, "documents"), "doc_id", "text")),
 
     // ---- deterministic stratified sampling (training-data curation):
     // hash-bucket each doc by md5(doc_id) and keep per-stratum rates (50% of
@@ -1117,6 +1121,28 @@ object SparkEntry {
         |SELECT train_id, eval_id, score_ppm,
         |  CASE WHEN score_ppm >= 500000 THEN 1 ELSE 0 END AS contaminated
         |FROM scored WHERE rn = 1""".stripMargin,
+    // d10: full independent re-execution — DuckDB brute-forces the exact
+    // word-3-gram Jaccard join the LSH path answers (pure integer predicate)
+    "d10_lsh_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS inter,
+        |  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS INT) AS uni
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.grams, b.grams)) * 10
+        |      >= len(list_distinct(list_concat(a.grams, b.grams))) * 7""".stripMargin,
+    // d11: cross-engine re-derivation of the whole Hamming-ball join from
+    // the d06-pinned fingerprints (whose values d06's own oracle gates)
+    "d11_simhash_neardup" ->
+      s"""SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM read_parquet('$goldenDir/d06_fingerprints/*.parquet') a
+         |JOIN read_parquet('$goldenDir/d06_fingerprints/*.parquet') b
+         |  ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "d09_sample_stratified" ->
       """WITH b AS (
         |  SELECT doc_id, lang, source,

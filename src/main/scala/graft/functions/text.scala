@@ -56,6 +56,23 @@ object text {
   /** Per-token 64-bit hashes, multiplicity preserved (SimHash weights). */
   def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
 
+  /** Distinct word k-grams of RAW space-split text (no normalization) — the
+    * gram space the d02/d08/d10 SQL oracles re-derive with DuckDB list
+    * comprehensions. The token array is LET-BOUND once per row: interpreted
+    * HOF lambdas re-evaluate argument subtrees per element, so a bare
+    * `slice(split(text), i, k)` re-splits the whole text for EVERY gram —
+    * O(tokens²) per document (the d06/t01 lesson, ~10x measured).
+    */
+  def wordGrams(c: Column, k: Int): Column =
+    let(split(c, " ")) { toks =>
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))
+        )
+      )
+    }
+
   /** Exact-substring anchors via content-defined winnowing fingerprints (see
     * ContentAnchors): two docs sharing any exact normalized substring of
     * length >= width + stride - 1 are GUARANTEED to share an anchor hash.

@@ -60,6 +60,69 @@ class EntrySpec extends AnyFunSuite {
       "other strata keep buckets < 80")
   }
 
+  /** Planted near-dup corpus shared by d10/d11: 60 random base docs over a
+    * small vocabulary, 12 verbatim copies, 12 one-token mutations.
+    */
+  private lazy val plantedNearDups: (String, Seq[(Long, String)]) = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val r = new scala.util.Random(11)
+    val vocab = (0 until 80).map(i => s"w$i")
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(40 + r.nextInt(40))(vocab(r.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = (0 until 12).map(i => (1000L + i, base(i)._2)) ++
+      (0 until 12).map { i =>
+        val toks = base(i)._2.split(" ")
+        toks(toks.length / 2) = "zz"
+        (2000L + i, toks.mkString(" "))
+      }
+    val docs = base ++ dups
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src1"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    (tmp, docs)
+  }
+
+  test("d10: LSH output equals the brute-force gram-Jaccard join (planted corpus)") {
+    val (dir, docs) = plantedNearDups
+    def grams(t: String): Set[String] = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val brute = (for {
+      (i1, t1) <- docs
+      (i2, t2) <- docs if i1 < i2
+      g1 = grams(t1); g2 = grams(t2)
+      inter = (g1 & g2).size; uni = (g1 | g2).size
+      if inter * 10 >= uni * 7
+    } yield (i1, i2, inter, uni)).toSet
+    val out = SparkEntry.queries("d10_lsh_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(brute.size >= 24, s"the planted copies/mutations must qualify: ${brute.size}")
+    assert(out == brute,
+      s"LSH+verify must equal brute force: missing=${brute -- out}, extra=${out -- brute}")
+  }
+
+  test("d11: chunk-banded retrieval is exhaustive for the Hamming ball (planted corpus)") {
+    val (dir, _) = plantedNearDups
+    import spark.implicits._
+    // independent ground truth: the same public fingerprint expression, but
+    // a driver-side all-pairs scan instead of the banding machinery
+    val fps = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", graft.functions.SimHash64(
+        graft.functions.text.tokenHashes(graft.functions.text.tokens($"text"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, s1) <- fps
+      (i2, s2) <- fps if i1 < i2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield (i1, i2, h)).toSet
+    val out = SparkEntry.queries("d11_simhash_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.size >= 12, s"verbatim copies must land in the Hamming ball: ${brute.size}")
+    assert(out == brute, s"missing=${brute -- out}, extra=${out -- brute}")
+  }
+
   test("t03: shards are contiguous per source and never exceed budget + one doc") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-pack").toString

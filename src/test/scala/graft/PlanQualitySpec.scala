@@ -139,6 +139,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(s).size >= 2, "match counting must partial-aggregate")
   }
 
+  test("sketch near-dup paths are bucket-keyed: no cartesian, bounded shuffles") {
+    for (q <- Seq("d10_lsh_neardup", "d11_simhash_neardup")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val s = df.queryExecution.executedPlan.toString
+      // the whole point of the sketch index: pair enumeration is a keyed
+      // bucket join (one hash shuffle into the sorted-group pair emitter),
+      // NEVER an all-pairs product like the e01/d02 exact baselines
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay bucket-keyed:\n${s.take(2000)}")
+      // bucket pass + candidate distinct + the two verify-side joins
+      assert("Exchange hashpartitioning".r.findAllIn(s).size <= 5,
+        s"$q shuffles too much:\n${s.take(3000)}")
+    }
+  }
+
   test("stratified sampling is a pure map-side filter (no shuffle, no join)") {
     val df = SparkEntry.queries("d09_sample_stratified")(spark, sf)
     val s = df.queryExecution.executedPlan.toString
