@@ -111,6 +111,53 @@ object Bench {
     threads * 4.0 * n * 8 / sec / 1e6 // aggregate MB/s: detects co-tenant bus contention
   }
 
+  /** Random-access thread-scaling control: k threads each pointer-chase a
+    * PRIVATE 128MB single-cycle permutation (every load depends on the
+    * previous one — LLC/TLB/DRAM latency bound, the access pattern of
+    * shuffle hash-table probes, unlike the sequential-bandwidth probe
+    * above). Returns aggregate hops/s at k threads over k x the 1-thread
+    * rate: the fraction of k independent memory pipelines this VM actually
+    * delivers to latency-bound work — the hardware ceiling for the
+    * shuffle-heavy stages, which the register-only cpuThreadEff control
+    * (~1.0 at 8 threads) cannot see.
+    */
+  private def memRandomEff(threads: Int): Double = {
+    val n = 16 * 1024 * 1024 // 128MB of longs per thread, >> LLC
+    def cycle(): Array[Long] = {
+      val a = Array.tabulate(n)(_.toLong)
+      var seed = 0x243f6a8885a308d3L // fixed seed: deterministic artifact
+      var i = n - 1
+      while (i > 0) { // Sattolo shuffle: one n-cycle, so the chase visits all
+        seed = graft.functions.MinHashImpl.mix64(seed)
+        val j = java.lang.Math.floorMod(seed, i.toLong).toInt
+        val t = a(i); a(i) = a(j); a(j) = t
+        i -= 1
+      }
+      a
+    }
+    def rate(k: Int): Double = {
+      val arrays = Array.fill(k)(cycle())
+      val hops = 4 * 1024 * 1024
+      val sink = new java.util.concurrent.atomic.AtomicLong
+      val t0 = System.nanoTime()
+      val ts = arrays.map { a =>
+        val t = new Thread(() => {
+          var p = 0L
+          var i = 0
+          while (i < hops) { p = a(p.toInt); i += 1 }
+          sink.addAndGet(p)
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      if (sink.get() == 42) println("")
+      k.toDouble * hops / ((System.nanoTime() - t0) / 1e9)
+    }
+    rate(1) // warm JIT
+    val r1 = rate(1)
+    rate(threads) / (threads * r1)
+  }
+
   /** Pure-CPU thread-scaling control: k threads each run the SAME fixed
     * mix64 chain over registers (zero memory traffic). Ideal hardware gives
     * wall(k) == wall(1); wall(1)/wall(k) is the fraction of k independent
@@ -279,6 +326,8 @@ object Bench {
     val bw = Seq(1, 2, 4, 8).map(k => k -> memBandwidthProbe(k))
     val cpuEff4 = cpuThreadEff(4)
     val cpuEff8 = cpuThreadEff(8)
+    val randEff4 = memRandomEff(4)
+    val randEff8 = memRandomEff(8)
 
     val qs = qTimes.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val qe = qErrs.toSeq.sortBy(_._1)
@@ -303,6 +352,7 @@ object Bench {
       Some(f""""dedup":{"turns":$nTurns,"cores":$headCores,"wall_sec":$tHead%.2f,"turns_per_sec":${nTurns / tHead}%.1f}""")
     ) ++ scalingPairs.map { case (k, n, n4) => scalingBlock(k, n, n4) } ++ Seq(
       Some(f""""controls":{"cpu_thread_eff_1_4":$cpuEff4%.3f,"cpu_thread_eff_1_8":$cpuEff8%.3f,""" +
+        f""""mem_random_eff_1_4":$randEff4%.3f,"mem_random_eff_1_8":$randEff8%.3f,""" +
         f""""mem_bw_mbps_by_threads":$bwJson,""" +
         f""""probe_gate":{"max_probe_mbps":$maxProbe%.0f,"qualified_runs":$nQualifiedRuns,"total_runs":${runs.size}}}"""),
       Some(qualified.map(c => f""""$c":${wall(c)}%.2f""").mkString(""""wall_sec_by_cores":{""", ",", "}")),

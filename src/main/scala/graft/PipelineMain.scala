@@ -32,7 +32,9 @@ object PipelineMain {
         "--cores N, --threshold T, --eval true, --warehouse DIR, --refine true, --profile true)")
     )
     val cores = opts.get("cores").map(_.toInt).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
-    val spark = Sessions.local(cores, "graft-pipeline")
+    // --parts pins shuffle partitions independently of cores (the bench's
+    // N-vs-4N scaling runs pin it so both levels do identical logical work)
+    val spark = Sessions.local(cores, "graft-pipeline", opts.get("parts").map(_.toInt))
     val cfg = Dedup.Config(threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.70))
 
     val scfg = Synth.Config(nClusters = opts.get("synth-clusters").map(_.toInt).getOrElse(2000))
@@ -60,8 +62,12 @@ object PipelineMain {
     })
     def timed[A](name: String)(f: => A): A = {
       val s0 = System.nanoTime()
+      val (t0, c0, g0) = (taskNanos.get(), cpuNanos.get(), gcNanos.get())
       val r = f
-      if (profile) println(f"[stage] $name%-12s ${(System.nanoTime() - s0) / 1e9}%8.2f s")
+      if (profile)
+        println(f"[stage] $name%-12s ${(System.nanoTime() - s0) / 1e9}%8.2f s wall  " +
+          f"${(taskNanos.get() - t0) / 1e9}%8.1f task-s  ${(cpuNanos.get() - c0) / 1e9}%8.1f cpu-s  " +
+          f"${(gcNanos.get() - g0) / 1e9}%6.1f gc-s")
       r
     }
 
