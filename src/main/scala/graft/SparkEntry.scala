@@ -1076,7 +1076,8 @@ object SparkEntry {
     "d02_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS grams
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS grams
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 = 0))
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         |  CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS inter,
@@ -1103,7 +1104,8 @@ object SparkEntry {
     "d08_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, source,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS grams
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS grams
         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
         |pairs AS (
         |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
@@ -1126,7 +1128,8 @@ object SparkEntry {
     "d10_lsh_neardup" ->
       """WITH sh AS (
         |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS grams
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS grams
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         |  CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS inter,

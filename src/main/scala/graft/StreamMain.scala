@@ -79,8 +79,10 @@ object StreamMain {
     val clusters = IncrementalDedup.clusterNow(spark, stores).cache()
     val nConvs = clusters.count()
     val nComponents = clusters.select($"component").distinct().count()
-    val nPairs = spark.read.parquet(stores.pairStore)
-      .select($"id1", $"id2").distinct().count()
+    val nPairs =
+      if (IncrementalDedup.storeExists(spark, stores.pairStore))
+        spark.read.parquet(stores.pairStore).select($"id1", $"id2").distinct().count()
+      else 0L
     opts.get("out").foreach(o => clusters.write.mode("overwrite").parquet(o))
 
     val wall = (System.nanoTime() - t0) / 1e9

@@ -62,15 +62,23 @@ object text {
     * HOF lambdas re-evaluate argument subtrees per element, so a bare
     * `slice(split(text), i, k)` re-splits the whole text for EVERY gram —
     * O(tokens²) per document (the d06/t01 lesson, ~10x measured).
+    *
+    * Documents shorter than k tokens contribute their whole text as a single
+    * gram (the [[shingleHashes]] sentinel), so short docs still compare by
+    * exact equality. Without the guard, `sequence(0, size-k)` runs DESCENDING
+    * for size < k and `slice(toks, 0, k)` throws at runtime — the oracles'
+    * gram comprehensions carry the matching CASE branch.
     */
   def wordGrams(c: Column, k: Int): Column =
     let(split(c, " ")) { toks =>
-      array_distinct(
+      val whole = array(concat_ws(" ", toks))
+      val grams = array_distinct(
         transform(
           sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", slice(toks, i + 1, lit(k)))
         )
       )
+      when(size(toks) < k, whole).otherwise(grams)
     }
 
   /** Exact-substring anchors via content-defined winnowing fingerprints (see

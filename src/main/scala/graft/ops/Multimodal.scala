@@ -329,6 +329,11 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val flat = decode(df.where(col("modality") =!= "video"))
+      // fail-soft for image/audio too, not just video: decode's `bad` record
+      // carries dec_frames = 0, and sequence(0, -1, stride) THROWS — a
+      // corrupt payload (or a WAV shorter than one window) must contribute
+      // no rows, never a task failure
+      .where(col("decoded.ok") && col("decoded.dec_frames") >= 1)
       .withColumn("hdr_len",
         when(col("modality") === "image", lit(0)).otherwise(lit(44)))
       .withColumn("frame_size",

@@ -259,7 +259,11 @@ object IncrementalDedup {
     val pairs = Dedup.verify(candKeys, all, cfg).cache()
     val nPairs = pairs.count()
 
-    pairs.withColumn("ingest_seq", lit(batchSeq)).write.mode("append").parquet(stores.pairStore)
+    // skip the write when the batch found no pairs: an all-empty-partition
+    // write can leave a data-file-less directory that breaks the next read,
+    // and the high-water mark only needs to advance when edges were added
+    if (nPairs > 0)
+      pairs.withColumn("ingest_seq", lit(batchSeq)).write.mode("append").parquet(stores.pairStore)
     newB.write.partitionBy("shard").mode("append").parquet(stores.bucketStore)
     newSigs.select(sigCols: _*)
       .withColumn("sshard", pmod(xxhash64($"conv_id"), lit(stores.sigShards)))
@@ -322,11 +326,19 @@ object IncrementalDedup {
     q.awaitTermination()
   }
 
-  /** Batch clustering over the accumulated pair store. */
+  /** Batch clustering over the accumulated pair store. Total over store
+    * states a fresh deployment can be in: nothing ingested yet -> empty
+    * labeling; conversations but no dup pairs yet -> every conv its own
+    * singleton component (an unguarded read of a never-created store path
+    * throws, and an always-on ingest loop legitimately reaches both states).
+    */
   def clusterNow(spark: SparkSession, stores: Stores): DataFrame = {
-    val sigs = spark.read.parquet(stores.sigStore)
-    val pairs = spark.read.parquet(stores.pairStore)
-    Dedup.cluster(spark, sigs.select($"conv_id"), pairs)
+    if (!storeExists(spark, stores.sigStore))
+      return spark.createDataFrame(Seq.empty[(String, String)]).toDF("conv_id", "component")
+    val nodes = spark.read.parquet(stores.sigStore).select($"conv_id")
+    if (!storeExists(spark, stores.pairStore))
+      return nodes.select($"conv_id", $"conv_id".as("component"))
+    Dedup.cluster(spark, nodes, spark.read.parquet(stores.pairStore))
   }
 
   /** Incremental clustering refresh. The previous labeling is folded in as
@@ -344,6 +356,10 @@ object IncrementalDedup {
       stores: Stores,
       prev: Option[(DataFrame, Long)] = None
   ): (DataFrame, Long) = {
+    if (!storeExists(spark, stores.sigStore))
+      return (
+        spark.createDataFrame(Seq.empty[(String, String)]).toDF("conv_id", "component"),
+        Long.MinValue)
     val nodes = spark.read.parquet(stores.sigStore).select($"conv_id")
     if (!storeExists(spark, stores.pairStore))
       return (nodes.select($"conv_id", $"conv_id".as("component")), Long.MinValue)

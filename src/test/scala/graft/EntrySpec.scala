@@ -77,7 +77,13 @@ class EntrySpec extends AnyFunSuite {
         toks(toks.length / 2) = "zz"
         (2000L + i, toks.mkString(" "))
       }
-    val docs = base ++ dups
+    // Docs shorter than the 3-token gram width: wordGrams' whole-doc sentinel
+    // must make the identical pair (3000, 3001) a dup, keep the distinct
+    // short docs apart, and never crash (slice(toks, 0, k) throws unguarded).
+    val shorts = Seq(
+      (3000L, "w1 w2"), (3001L, "w1 w2"),
+      (3002L, "w3"), (3003L, ""), (3004L, "w1 w2 zz"))
+    val docs = base ++ dups ++ shorts
     docs.toDF("doc_id", "text")
       .withColumn("lang", lit("en"))
       .withColumn("source", lit("src1"))

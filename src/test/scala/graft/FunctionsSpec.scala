@@ -26,6 +26,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 1)) // 7-5+1=3, short=1
   }
 
+  test("wordGrams: short docs get the whole-doc sentinel gram; never crash") {
+    val df = Seq("a b c d", "a b", "a", "").toDF("t")
+      .select(T.wordGrams(col("t"), 3).as("g"))
+    val got = df.collect().map(_.getSeq[String](0).toSeq).toSeq
+    // 4 tokens -> two 3-grams; <3 tokens -> one whole-doc gram (unguarded,
+    // slice(toks, 0, 3) throws: sequence(0, size-3) runs descending)
+    assert(got == Seq(Seq("a b c", "b c d"), Seq("a b"), Seq("a"), Seq("")))
+  }
+
   test("minhash estimate converges to exact jaccard (property)") {
     // two synthetic shingle sets with known overlap: |A|=|B|=200, |A∩B|=150
     val inter = (0 until 150).map(i => s"s$i")

@@ -256,6 +256,7 @@ class OpsSpec extends AnyFunSuite {
     while (i < 512) { wav(44 + 2 * i) = (1000 & 0xff).toByte; wav(45 + 2 * i) = (1000 >> 8).toByte; i += 1 }
     val assets = Seq(
       Multimodal.Asset("good", "audio", 0, 0, 8000, 2, wav),
+      Multimodal.Asset("short", "audio", 0, 0, 8000, 0, Multimodal.wavBytes(10, 8000, 7L)),
       Multimodal.Asset("corrupt", "audio", 0, 0, 8000, 2, Array[Byte](9, 9, 9, 9))
     ).toDF
     val got = Multimodal.decode(assets).select(col("asset_id"), col("decoded.*"))
@@ -266,6 +267,13 @@ class OpsSpec extends AnyFunSuite {
     assert(g.getInt(6) == 8000, s"sample rate ${g.getInt(6)}")
     assert(g.getInt(7) == 1000, s"rms ${g.getInt(7)}")
     assert(!got("corrupt").getBoolean(1), "corrupt payload must yield ok=false, not a task failure")
+    // fail-soft holds through frame sampling too: decode's `bad` record has
+    // dec_frames = 0, and an unguarded sequence(0, -1, stride) is a task
+    // failure, not a skipped row; a sub-window WAV likewise yields no rows
+    val frames = Multimodal.sampleFrames(assets, stride = 1).collect()
+    assert(frames.count(_.getString(0) == "good") == 2, "one frame per full window")
+    assert(!frames.exists(r => r.getString(0) == "corrupt" || r.getString(0) == "short"),
+      "corrupt / sub-window audio contributes no frames")
   }
 
   test("a hand-built PNG decodes to its exact pixels; corrupt bytes fail soft") {
@@ -285,6 +293,9 @@ class OpsSpec extends AnyFunSuite {
     // per-pixel (r+g+b)/3: 85,85,85,255,0,128 -> sum 638 -> 638/6 = 106
     assert(g.getInt(5) == 106, s"mean luma ${g.getInt(5)}")
     assert(!got("corrupt").getBoolean(1), "corrupt payload must yield ok=false, not a task failure")
+    val frames = Multimodal.sampleFrames(assets, stride = 1).collect()
+    assert(frames.count(_.getString(0) == "good") == 1, "image contributes its payload as frame 0")
+    assert(frames.count(_.getString(0) == "corrupt") == 0, "corrupt image contributes no frames")
   }
 
   test("frame sampling explodes video/audio into stride-sampled frames") {

@@ -305,6 +305,32 @@ class StreamingSpec extends AnyFunSuite {
       transcripts.where(col("part") =!= 6).select("conv_id").distinct().count())
   }
 
+  test("clusterNow is total over fresh-deployment store states (nothing / no dup pairs yet)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-fresh").toString
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+
+    // state 1: nothing ingested — no store paths exist at all
+    val empty = IncrementalDedup.clusterNow(spark, stores)
+    assert(empty.columns.toSeq == Seq("conv_id", "component") && empty.count() == 0)
+
+    // state 2: conversations ingested but zero dup pairs found — the pair
+    // store was never created (empty batches are skipped by design) and
+    // every conversation must come back as its own singleton component
+    val turns = (0 until 6).flatMap { c =>
+      (0 until 3).map(t => graft.synth.Turn(s"c$c", t, "user",
+        s"unique text $c $t " + Seq.tabulate(30)(i => s"tok${c * 100 + t * 31 + i}").mkString(" "),
+        "", new java.sql.Timestamp(1700000000000L + c * 10000 + t)))
+    }
+    val (n, p) = IncrementalDedup.processBatch(spark, turns.toDF(), stores, Dedup.Config())
+    assert(n == 6 && p == 0, s"corpus is duplicate-free by construction: $n convs, $p pairs")
+    assert(!IncrementalDedup.storeExists(spark, stores.pairStore),
+      "a zero-pair batch must not create the pair store")
+    val singletons = IncrementalDedup.clusterNow(spark, stores)
+    assert(singletons.count() == 6 &&
+      singletons.where($"conv_id" === $"component").count() == 6)
+  }
+
   test("incremental clustering refresh (prior labels as star edges) == full re-cluster") {
     import spark.implicits._
     val scfg = Synth.Config(nClusters = 120, boilerClusters = 1, boilerSize = 8)
