@@ -62,6 +62,10 @@ object DocNearDup {
         col(idCol).cast("string").as("conv_id"),
         array_sort(transform(T.wordGrams(col(textCol), 3), g => xxhash64(g))).as("shingles")
       )
+      // a null text has no gram set: exclude it up front (it can match
+      // nothing, and its null shingles would otherwise band into shared
+      // garbage buckets via xxhash64's null-skipping seed hash)
+      .where($"shingles".isNotNull)
       .select($"conv_id", $"shingles", MinHashSignature($"shingles", numPerms, seed).as("sig"))
     val side = sigs.select($"conv_id", $"shingles")
     val inter = SortedIntersectSize($"sh1", $"sh2")
@@ -101,10 +105,15 @@ object DocNearDup {
   ): DataFrame = {
     require(maxHamming <= 3, "4x16-bit chunk banding is exhaustive only for maxHamming <= 3")
     val cfg = Dedup.Config(simhashMaxHamming = maxHamming, bucketCap = bucketCap)
-    val fp = docs.select(
-      col(idCol).cast("string").as("conv_id"),
-      SimHash64(T.tokenHashes(T.tokens(col(textCol)))).as("simhash")
-    )
+    val fp = docs
+      .select(
+        col(idCol).cast("string").as("conv_id"),
+        SimHash64(T.tokenHashes(T.tokens(col(textCol)))).as("simhash")
+      )
+      // a null text has no fingerprint: exclude it up front — a null payload
+      // would violate the pair generator's typed (bucket, id, payload)
+      // encoder (NOT_NULL_ASSERT_VIOLATION), a task failure at corpus scale
+      .where($"simhash".isNotNull)
     Dedup
       .simhashCandidates(fp, cfg)
       .distinct()

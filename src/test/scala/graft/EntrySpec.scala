@@ -37,6 +37,55 @@ class EntrySpec extends AnyFunSuite {
     tmp
   }
 
+  /** TOTALITY gate for the whole documents-table query family: a web-scale
+    * corpus contains empty, whitespace-only, punctuation-only, null,
+    * single-char, supplementary-plane, and megabyte-token documents, and no
+    * query may turn one of them into a task failure (the class of bug where
+    * wordGrams' unguarded sequence(0, size-k) + slice(toks, 0, k) threw on
+    * any document under k tokens — invisible to oracles over well-formed
+    * synthetic corpora). Only totality is asserted; value semantics for
+    * degenerate rows live with each operator's own spec.
+    */
+  private lazy val pathologicalDocs: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pathological").toString
+    val normal = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (0L, normal, "en", "src0"),
+      (1L, "", "en", "src1"),                        // empty text
+      (2L, "   ", "en", "src1"),                     // whitespace only
+      (3L, "!!! ??? ... ;;; :::", "und", "src1"),    // punctuation only
+      (4L, "a", "en", "src2"),                       // single char
+      (5L, normal, "en", "src2"),                    // exact dup of 0 (d01 group)
+      (6L, "tok tok tok tok tok tok", "en", "src2"), // one repeated token
+      (7L, "x" * 100000, "en", "src3"),              // one huge token
+      (8L, "😀😀 𝕊𝕡 😀", "und", "src3"), // supplementary plane
+      (9L, "a\tb\nc d", "en", "src3"),               // tabs/newlines inside tokens
+      (10L, null.asInstanceOf[String], "en", "src0") // null text
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("every documents-table query is total over a pathological corpus") {
+    val docQueries = Seq(
+      "d01_exact_dedup", "d02_ngram_jaccard", "d03_token_stats", "d04_source_stats",
+      "d05_langid", "d06_fingerprints", "d07_substring_dup", "d08_decontaminate",
+      "d09_sample_stratified", "d10_lsh_neardup", "d11_simhash_neardup",
+      "t01_quality", "t02_subword", "t03_token_packing", "q25_keyword_classify")
+    for (q <- docQueries) {
+      val n =
+        try SparkEntry.queries(q)(spark, pathologicalDocs).collect().length
+        catch {
+          case e: Exception =>
+            fail(s"$q threw on the pathological corpus: ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" | ")}")
+        }
+      assert(n >= 0) // totality only; per-operator specs own the values
+    }
+  }
+
   test("d08: a train doc copying an eval doc is flagged; misses stay silent") {
     val out = SparkEntry.queries("d08_decontaminate")(spark, plantedDocs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
