@@ -403,6 +403,12 @@ object SparkEntry {
     // integer dot products so both engines agree bit-for-bit)
     "e01_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+        // corpus hygiene, mirrored in the oracle: a null/short/non-finite
+        // embedding is a task failure downstream (NaN overflows the ANSI
+        // milli-quant cast; mismatched dims zip to nulls that the two
+        // engines aggregate differently), not a wrong number
+        .where($"embedding".isNotNull && size($"embedding") === 64 &&
+          !exists($"embedding", v => isnan(v) || abs(v.cast("double")) > lit(Float.MaxValue.toDouble)))
         .select($"vec_id", transform($"embedding", x => round(x.cast("double") * 1000).cast("long")).as("q"))
       val queries = emb.filter($"vec_id" % 25 === 0)
         .select($"vec_id".as("qid"), $"q".as("qv"))
@@ -418,7 +424,12 @@ object SparkEntry {
         .select(
           $"qid",
           $"nid",
-          round($"dot".cast("double") / (sqrt($"nq".cast("double")) * sqrt($"nn".cast("double"))), 6).as("cos")
+          // zero vector: no direction, similarity 0 by definition (the bare
+          // division is an ANSI DIVIDE_BY_ZERO task failure)
+          when($"nq" === 0 || $"nn" === 0, lit(0.0))
+            .otherwise(
+              round($"dot".cast("double") / (sqrt($"nq".cast("double")) * sqrt($"nn".cast("double"))), 6))
+            .as("cos")
         )
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
       joined.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
@@ -1173,7 +1184,9 @@ object SparkEntry {
     "e01_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id, [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS qv
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
         |pairs AS (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
         |    list_sum(list_transform(list_zip(a.qv, b.qv), t -> t[1] * t[2])) AS dot,
@@ -1182,7 +1195,9 @@ object SparkEntry {
         |  FROM q a JOIN q b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
         |scored AS (
         |  SELECT qid, nid,
-        |    ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nn AS DOUBLE))), 6) AS cos
+        |    CASE WHEN nq = 0 OR nn = 0 THEN 0.0
+        |         ELSE ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nn AS DOUBLE))), 6)
+        |    END AS cos
         |  FROM pairs)
         |SELECT qid, nid, cos, rn FROM (
         |  SELECT qid, nid, cos,

@@ -15,13 +15,32 @@ import graft.pipeline.Dedup
   */
 object Ann {
 
-  /** cosine similarity of two float-array columns, computed in double */
+  /** cosine similarity of two float-array columns, computed in double.
+    * A zero vector has no direction: its similarity to anything is defined
+    * as 0.0 rather than 0/0 — under ANSI mode (Spark 4 default) the bare
+    * division is a DIVIDE_BY_ZERO task failure, not a NaN.
+    */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, x) => s + x)
     val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (s, x) => s + x)
     val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (s, x) => s + x)
-    dot / (sqrt(na) * sqrt(nb))
+    when(na === 0d || nb === 0d, lit(0.0)).otherwise(dot / (sqrt(na) * sqrt(nb)))
   }
+
+  /** Rows whose `vecCol` is a well-formed point of the dim-dimensional
+    * space: non-null, exactly `dim` components, all finite. A corpus-scale
+    * embedding table carries nulls, short rows, and NaN/Inf payloads from
+    * bad upstream encoder batches, and each is a TASK FAILURE somewhere
+    * downstream, not a wrong number: NaN overflows the ANSI milli-quant
+    * cast, a null vec violates the pair generator's typed encoder, a
+    * wrong-dimension row breaks the dim-indexed codegen'd sign/centroid
+    * expressions. Every public ANN entry point applies this filter; zero
+    * vectors are KEPT (valid points with undefined direction — `cosine`
+    * defines their similarity as 0).
+    */
+  def finiteVecs(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+      !exists(col(vecCol), v => isnan(v) || abs(v.cast("double")) > lit(Float.MaxValue.toDouble)))
 
   /** Exact brute-force top-k neighbors for every query vector. Queries should
     * be small (broadcast side); the corpus side streams. O(|Q| * |C|) — the
@@ -80,6 +99,7 @@ object Ann {
       seed: Long = 42L,
       bucketCap: Int = 1024
   ): DataFrame = {
+    val (queries0, corpus0) = (finiteVecs(queries, "vec", dim), finiteVecs(corpus, "vec", dim))
     def bucketed(df: DataFrame, idCol: String): DataFrame =
       df.select(
         col("id").as(idCol),
@@ -89,8 +109,8 @@ object Ann {
         ): _*)).as("tb")
       ).select(col(idCol), col("vec"), col("tb.table"), col("tb.bucket"))
 
-    val qb = bucketed(queries, "query_id").withColumnRenamed("vec", "qv")
-    val cb = cappedLists(bucketed(corpus, "neighbor_id"), "neighbor_id", bucketCap)
+    val qb = bucketed(queries0, "query_id").withColumnRenamed("vec", "qv")
+    val cb = cappedLists(bucketed(corpus0, "neighbor_id"), "neighbor_id", bucketCap)
       .withColumnRenamed("vec", "nv")
     val cands = qb
       .join(cb, Seq("table", "bucket"))
@@ -171,10 +191,24 @@ object Ann {
   }
 
   /** integer-milli quantization of the `vec` column (order-independent long
-    * arithmetic downstream — the determinism backbone of the IVF path)
+    * arithmetic downstream — the determinism backbone of the IVF path).
+    *
+    * TOTAL by construction, not by the upstream finiteVecs filter: under
+    * ANSI mode the bare cast THROWS on NaN/Inf, and Catalyst may evaluate
+    * this expression as a PREDICATE reordered relative to the guard filter
+    * (measured: runtime bloom-filter injection on the IVF cell join key
+    * evaluated the cast below the finiteVecs filter and failed the task on
+    * a row the filter excludes). NaN and any magnitude the milli-space
+    * cannot represent in a BIGINT (|x| > 9e15 — unit-norm embeddings live
+    * twelve orders of magnitude below) quantize to 0; rows that reach
+    * downstream semantics are still finiteVecs-clean.
     */
   private[ops] def quantExpr: Column =
-    transform(col("vec"), x => round(x.cast("double") * 1000).cast("long"))
+    transform(col("vec"), x => {
+      val d = x.cast("double")
+      when(isnan(d) || abs(d) > lit(9.0e15), lit(0L))
+        .otherwise(round(d * 1000).cast("long"))
+    })
 
   /** Deterministic Lloyd quantizer over a hash sample of the corpus (see
     * ivfTopK doc): returns the trained centroids in quantized-milli space.
@@ -189,10 +223,24 @@ object Ann {
   ): Array[Array[Double]] = {
     val quant = quantExpr
 
+    // the corpus dim is the modal well-formed vector size (one tiny
+    // map-side-combined aggregate; ties break to the smaller size,
+    // deterministically); degenerate rows are then excluded — see
+    // finiteVecs. An all-degenerate corpus trains no centroids.
+    val dimRow = corpus
+      .where(col("vec").isNotNull)
+      .groupBy(size(col("vec")).as("sz")).agg(count(lit(1)).as("cnt"))
+      .where(col("sz") >= 1)
+      .orderBy(col("cnt").desc, col("sz").asc)
+      .limit(1).collect()
+    if (dimRow.isEmpty) return Array.empty
+    val wf = finiteVecs(corpus, "vec", dimRow(0).getAs[Int]("sz"))
+
     // deterministic training sample of ~sampleCap rows
-    val n = corpus.count()
+    val n = wf.count()
+    if (n == 0) return Array.empty
     val keepPerM = if (n <= sampleCap) 1000000L else math.max(1L, sampleCap * 1000000L / n)
-    val sample = corpus
+    val sample = wf
       .where(pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) < keepPerM)
       .select(col("id"), quant.as("qv"))
       .cache()
@@ -264,12 +312,19 @@ object Ann {
     * frame `IvfIndex.save` persists partitioned by cell.
     */
   def buildLists(corpus: DataFrame, centroids: Array[Array[Double]], listCap: Int = 100000): DataFrame =
-    cappedLists(
-      corpus.select(col("id").as("neighbor_id"), col("vec"), lit(0).as("table"),
-        assignExpr(centroids)(quantExpr).as("bucket")),
-      "neighbor_id",
-      listCap
-    ).select(col("neighbor_id"), col("vec").as("nv"), col("bucket").as("cell"))
+    // degenerate rows can't be quantized against the trained space (see
+    // finiteVecs); an untrained quantizer (all-degenerate corpus) indexes
+    // nothing
+    if (centroids.isEmpty)
+      corpus.select(col("id").as("neighbor_id"), col("vec").as("nv"), lit(0).as("cell")).limit(0)
+    else
+      cappedLists(
+        finiteVecs(corpus, "vec", centroids(0).length)
+          .select(col("id").as("neighbor_id"), col("vec"), lit(0).as("table"),
+            assignExpr(centroids)(quantExpr).as("bucket")),
+        "neighbor_id",
+        listCap
+      ).select(col("neighbor_id"), col("vec").as("nv"), col("bucket").as("cell"))
 
   /** Probe path over trained centroids + inverted lists (fresh-built or
     * loaded from a persisted index): nProbe nearest centroids per query,
@@ -286,9 +341,12 @@ object Ann {
       k: Int,
       nProbe: Int = 3
   ): DataFrame = {
+    if (centroids.isEmpty)
+      return queries.select(col("id").as("query_id"), col("id").as("neighbor_id"),
+        lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
     val quant = quantExpr
     val kthIdx = math.min(nProbe, centroids.length)
-    val probes = queries
+    val probes = finiteVecs(queries, "vec", centroids(0).length)
       .select(col("id").as("query_id"), col("vec").as("qv"), distArray(centroids)(quant).as("ds"),
         element_at(array_sort(distArray(centroids)(quant)), kthIdx).as("kth"))
       .select(col("query_id"), col("qv"), col("kth"), posexplode(col("ds")).as(Seq("cell", "dist")))
@@ -332,7 +390,8 @@ object Ann {
       gateBits,
       math.ceil(gateBits * f + 4 * math.sqrt(gateBits * f * (1 - f))).toInt
     )
-    val bucketed = corpus.select(
+    val corpus0 = finiteVecs(corpus, "vec", dim)
+    val bucketed = corpus0.select(
       explode(array((0 until nTables).map(t =>
         xxhash64(lit(t), signBucket(col("vec"), dim, nBits, seed + t * 1000003L))
       ): _*)).as("bucket"),
@@ -345,7 +404,7 @@ object Ann {
       (a, b) => java.lang.Long.bitCount(a ^ b) <= maxHam,
       metrics
     )
-    val v = corpus.select(col("id"), col("vec"))
+    val v = corpus0.select(col("id"), col("vec"))
     cand
       .dropDuplicates("id1", "id2")
       .join(v.select(col("id").as("id1"), col("vec").as("v1")), "id1")

@@ -35,6 +35,10 @@ object EventStreams {
       slideDur: String = "30 minutes"
   ): DataFrame =
     events
+      // an event without an event time belongs to no window; streaming's
+      // watermark op would drop it anyway — filtering keeps batch/stream
+      // parity exact instead of batch emitting a null-window group
+      .where(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -119,6 +123,10 @@ object EventStreams {
       // silently drops the event-time watermark metadata the stateful
       // operator's analysis check looks for
       .select(col("user_id").cast("string").as("user_id"), col("ts").cast("timestamp").as("ts"))
+      // an event without an event time cannot be placed in any session
+      // (same rule as ConvAssembly): drop it, don't NPE on getTime in the
+      // state fold — batch mode has no watermark op to drop it for us
+      .where(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[(String, Timestamp)]
       .groupByKey(_._1)

@@ -86,6 +86,53 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  /** Same totality contract for the embeddings- and events-table families:
+    * a corpus-scale embedding column contains nulls, zero vectors, and
+    * wrong-dimension rows (a bad upstream encoder batch); an event log
+    * contains null timestamps/users. None may become a task failure.
+    */
+  private lazy val pathologicalVecsAndEvents: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pathvec").toString
+    val r = new scala.util.Random(3)
+    val normal = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(r.nextFloat() - 0.5f), i % 4))
+    val weird = Seq(
+      (100L, Array.fill(64)(0.0f), 0),          // zero vector: cosine 0/0
+      (101L, null.asInstanceOf[Array[Float]], 0), // null embedding
+      (102L, Array(1.0f, 2.0f, 3.0f), 0),       // wrong dimension (3 of 64)
+      (103L, Array.fill(64)(Float.NaN), 0)      // NaN payload
+    )
+    (normal ++ weird).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+
+    val base = 1700000000000L
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val evs: Seq[(Long, java.sql.Timestamp, java.lang.Long, String, Double, String)] =
+      (0 until 40).map(i =>
+        (i.toLong, new java.sql.Timestamp(base + i * 60000L), jl(i % 5), s"t${i % 3}", i * 1.0, "p")) ++
+        Seq(
+          (100L, null.asInstanceOf[java.sql.Timestamp], jl(1), "t0", 1.0, "p"), // null ts
+          (101L, new java.sql.Timestamp(base), null.asInstanceOf[java.lang.Long], "t1", 1.0, "p"))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("embeddings- and events-table queries are total over pathological rows") {
+    val failures = Seq("e01_cosine_topk", "a02_ann_lsh", "a03_embedding_neardup", "a04_ann_ivf",
+      "q23_event_sessions", "q24_event_window", "q26_sessions", "q27_sliding_window").flatMap { q =>
+      try { SparkEntry.queries(q)(spark, pathologicalVecsAndEvents).collect(); None }
+      catch {
+        case e: Exception =>
+          Some(s"$q: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ")}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"queries threw on the pathological corpus:\n  ${failures.mkString("\n  ")}")
+  }
+
   test("d08: a train doc copying an eval doc is flagged; misses stay silent") {
     val out = SparkEntry.queries("d08_decontaminate")(spark, plantedDocs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
