@@ -509,6 +509,31 @@ object SparkEntry {
     "d11_simhash_neardup" -> ((s, d) =>
       graft.ops.DocNearDup.simhashHammingPairs(t(s, d, "documents"), "doc_id", "text")),
 
+    // ---- cluster retention policy (curation): near-dup clusters from the
+    // d10 LSH pair graph (connected components, min-id label), then keep ONE
+    // representative per cluster — the longest document (n_tokens desc,
+    // doc_id asc tiebreak; the "best quality survives" rule of reference
+    // filter_dataset.py-style curation). Singletons keep themselves. Ids are
+    // zero-padded for CC (its min-label contract compares lexicographically)
+    // and cast back, so the label equals the numeric min doc_id. The oracle
+    // re-derives EVERYTHING: brute-force Jaccard pairs, recursive-closure
+    // components, and the per-cluster argmax.
+    "c01_cluster_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select($"doc_id", graft.ops.TextAnalysis.qualityMetrics($"text").getField("n_tokens").as("n_tokens"))
+      val pairs = graft.ops.DocNearDup.lshJaccardPairs(t(s, d, "documents"), "doc_id", "text")
+      def pad(c: Column) = lpad(c.cast("string"), 12, "0")
+      val comp = graft.plans.ConnectedComponents
+        .run(s, pairs.select(pad($"id1").as("src"), pad($"id2").as("dst")))
+        .select($"id".cast("bigint").as("doc_id"), $"component".cast("bigint").as("cluster"))
+      val w = Window.partitionBy($"cluster").orderBy($"n_tokens".desc, $"doc_id")
+      docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce($"cluster", $"doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .select($"doc_id", $"cluster", $"n_tokens",
+          when($"rn" === 1, 1).otherwise(0).as("kept"))
+    }),
+
     // ---- deterministic stratified sampling (training-data curation):
     // hash-bucket each doc by md5(doc_id) and keep per-stratum rates (50% of
     // 'en', 80% of everything else — downweight the dominant language). Pure
@@ -1157,6 +1182,36 @@ object SparkEntry {
          |JOIN read_parquet('$goldenDir/d06_fingerprints/*.parquet') b
          |  ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // c01: full independent re-execution — DuckDB brute-forces the Jaccard
+    // pair graph (same predicate as d10), re-derives every component label by
+    // recursive closure (min reachable id, matching CC's contract), and
+    // re-runs the keep-longest retention argmax
+    "c01_cluster_keep_best" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |pr AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 10
+        |        >= len(list_distinct(list_concat(a.grams, b.grams))) * 7),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |lab AS (
+        |  SELECT q.doc_id, comp.cluster, q.n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY comp.cluster
+        |      ORDER BY q.n_tokens DESC, q.doc_id) AS rn
+        |  FROM q JOIN comp USING (doc_id))
+        |SELECT doc_id, cluster, n_tokens,
+        |  CASE WHEN rn = 1 THEN 1 ELSE 0 END AS kept FROM lab""".stripMargin,
     "d09_sample_stratified" ->
       """WITH b AS (
         |  SELECT doc_id, lang, source,

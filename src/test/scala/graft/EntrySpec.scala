@@ -73,6 +73,7 @@ class EntrySpec extends AnyFunSuite {
       "d01_exact_dedup", "d02_ngram_jaccard", "d03_token_stats", "d04_source_stats",
       "d05_langid", "d06_fingerprints", "d07_substring_dup", "d08_decontaminate",
       "d09_sample_stratified", "d10_lsh_neardup", "d11_simhash_neardup",
+      "c01_cluster_keep_best",
       "t01_quality", "t02_subword", "t03_token_packing", "q25_keyword_classify")
     for (q <- docQueries) {
       val n =
@@ -140,6 +141,32 @@ class EntrySpec extends AnyFunSuite {
     assert(out.toSet == Set((101L, 0L, 1000000L, 1)),
       s"exactly the planted contamination must surface: ${out.toSeq}")
     // 102 (no overlap) and 104 (overlaps only the unsampled eval doc) absent
+  }
+
+  test("c01: retention keeps the longest doc per near-dup cluster; ties break to min id; singletons survive") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-c01").toString
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val longer = base + " extra1 extra2"                  // 32 tokens, J=0.93 vs base
+    val longest = base + " extra1 extra2 extra3 extra4"   // 34 tokens, the keeper
+    val other = (1 to 30).map(i => s"v$i").mkString(" ")  // disjoint vocabulary
+    Seq(
+      (1L, base, "en", "src0"),
+      (2L, longest, "en", "src0"),
+      (3L, longer, "en", "src0"),
+      (7L, other, "en", "src1"),
+      (8L, other, "en", "src1"), // exact dup of 7: n_tokens tie, min id kept
+      (9L, "solo doc sharing no gram with anything", "en", "src2") // true singleton
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("c01_cluster_keep_best")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    assert(out.map(x => (x._1, x._2)).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L)),
+      "cluster labels must be the numeric min doc_id of each component")
+    assert(out.filter(_._4 == 1).map(_._1).toSeq == Seq(2L, 7L, 9L),
+      "keepers: longest in {1,2,3} is 2; tie in {7,8} breaks to 7; singleton 9 keeps itself")
   }
 
   test("d09: sampling is deterministic, bucket-bounded, and per-stratum") {

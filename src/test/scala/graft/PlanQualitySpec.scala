@@ -154,6 +154,16 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("cluster retention plans a keyed join + one window, no cartesian") {
+    // the pair graph inside c01 is the d10 path (gated above); this pins the
+    // retention stage itself: label join + per-cluster window, nothing quadratic
+    val df = SparkEntry.queries("c01_cluster_keep_best")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"c01 must stay keyed:\n${s.take(2000)}")
+    assert(s.contains("Window"), s"c01 keeps per-cluster argmax as a window:\n${s.take(2000)}")
+  }
+
   test("stratified sampling is a pure map-side filter (no shuffle, no join)") {
     val df = SparkEntry.queries("d09_sample_stratified")(spark, sf)
     val s = df.queryExecution.executedPlan.toString
