@@ -38,6 +38,15 @@ object SparkEntry {
     */
   private def threeGrams(text: Column): Column = T.wordGrams(text, 3)
 
+  /** c02 scrub patterns — restricted to the Java∩RE2 common regex dialect
+    * (character classes, bounded repetition, `\b`; no lookaround or
+    * backreferences) so Spark's java.util.regex and DuckDB's RE2 match the
+    * exact same spans.
+    */
+  private val piiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val piiIpv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val piiPhoneRe = """\b\d{3}-\d{4}\b"""
+
   /** Flagship: full near-dup pipeline on a small deterministic synthetic
     * transcript corpus; returns the cluster assignment (driver smoke-checks
     * rows > 0).
@@ -532,6 +541,36 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .select($"doc_id", $"cluster", $"n_tokens",
           when($"rn" === 1, 1).otherwise(0).as("kept"))
+    }),
+
+    // ---- PII redaction (curation): scrub emails / IPv4s / phone-shaped
+    // tokens to typed placeholders and count what was removed — the standard
+    // pre-training scrub pass. The synthetic corpus contains no PII, so the
+    // query PLANTS deterministic pseudo-PII derived from doc_id before
+    // scrubbing: every row exercises all three patterns and the oracle must
+    // reproduce byte-identical redacted text. Patterns stay inside the
+    // Java∩RE2 common dialect (no lookaround, no backreferences) so Spark
+    // and DuckDB compile them identically. Pure map-side projection — no
+    // shuffle; `dirty` is referenced 4x so CollapseProject keeps it bound
+    // once per row rather than inlining the concat into every use.
+    "c02_pii_scrub" -> ((s, d) => {
+      val dirty = concat(
+        $"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com or 10.20."), ($"doc_id" % 256).cast("string"),
+        lit(".7 phone 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+        when($"doc_id" % 3 === 0, lit(" alt admin@test.org")).otherwise(lit("")))
+      t(s, d, "documents")
+        .withColumn("x", dirty)
+        .select(
+          $"doc_id",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace($"x", piiEmailRe, "<EMAIL>"),
+              piiIpv4Re, "<IP>"),
+            piiPhoneRe, "<PHONE>").as("clean_text"),
+          regexp_count($"x", lit(piiEmailRe)).cast("int").as("n_emails"),
+          regexp_count($"x", lit(piiIpv4Re)).cast("int").as("n_ips"),
+          regexp_count($"x", lit(piiPhoneRe)).cast("int").as("n_phones"))
     }),
 
     // ---- deterministic stratified sampling (training-data curation):
@@ -1212,6 +1251,26 @@ object SparkEntry {
         |  FROM q JOIN comp USING (doc_id))
         |SELECT doc_id, cluster, n_tokens,
         |  CASE WHEN rn = 1 THEN 1 ELSE 0 END AS kept FROM lab""".stripMargin,
+    // c02: DuckDB re-plants the same deterministic pseudo-PII and re-runs
+    // the scrub with its own regex engine (RE2) — the redacted text must be
+    // byte-identical and the per-pattern counts must agree
+    "c02_pii_scrub" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.20.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.7 phone 555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' alt admin@test.org' ELSE '' END AS x
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(x,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(x, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(x, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones
+        |FROM dirty""".stripMargin,
     "d09_sample_stratified" ->
       """WITH b AS (
         |  SELECT doc_id, lang, source,

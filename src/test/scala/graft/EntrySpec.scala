@@ -73,7 +73,7 @@ class EntrySpec extends AnyFunSuite {
       "d01_exact_dedup", "d02_ngram_jaccard", "d03_token_stats", "d04_source_stats",
       "d05_langid", "d06_fingerprints", "d07_substring_dup", "d08_decontaminate",
       "d09_sample_stratified", "d10_lsh_neardup", "d11_simhash_neardup",
-      "c01_cluster_keep_best",
+      "c01_cluster_keep_best", "c02_pii_scrub",
       "t01_quality", "t02_subword", "t03_token_packing", "q25_keyword_classify")
     for (q <- docQueries) {
       val n =
@@ -167,6 +167,22 @@ class EntrySpec extends AnyFunSuite {
       "cluster labels must be the numeric min doc_id of each component")
     assert(out.filter(_._4 == 1).map(_._1).toSeq == Seq(2L, 7L, 9L),
       "keepers: longest in {1,2,3} is 2; tie in {7,8} breaks to 7; singleton 9 keeps itself")
+  }
+
+  test("c02: PII scrub redacts planted emails/IPs/phones to typed placeholders with exact counts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-c02").toString
+    Seq(
+      (3L, "hello world", "en", "src0"), // %3==0: gets the second planted email
+      (4L, "plain text here", "en", "src0")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("c02_pii_scrub")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .sortBy(_._1)
+    assert(out(0) == ((3L, "hello world contact <EMAIL> or <IP> phone <PHONE> alt <EMAIL>", 2, 1, 1)))
+    assert(out(1) == ((4L, "plain text here contact <EMAIL> or <IP> phone <PHONE>", 1, 1, 1)))
   }
 
   test("d09: sampling is deterministic, bucket-bounded, and per-stratum") {

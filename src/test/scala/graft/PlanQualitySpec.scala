@@ -164,6 +164,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(s.contains("Window"), s"c01 keeps per-cluster argmax as a window:\n${s.take(2000)}")
   }
 
+  test("PII scrub is a pure map-side projection (no shuffle, no join)") {
+    val df = SparkEntry.queries("c02_pii_scrub")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange") && !s.contains("Join"),
+      s"c02 must be project-over-scan only:\n${s.take(2000)}")
+  }
+
   test("stratified sampling is a pure map-side filter (no shuffle, no join)") {
     val df = SparkEntry.queries("d09_sample_stratified")(spark, sf)
     val s = df.queryExecution.executedPlan.toString
