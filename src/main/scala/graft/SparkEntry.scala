@@ -47,6 +47,45 @@ object SparkEntry {
   private val piiIpv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
   private val piiPhoneRe = """\b\d{3}-\d{4}\b"""
 
+  /** c02/c03 shared: documents text with deterministic pseudo-PII planted
+    * from doc_id (the synthetic corpus contains none), and its scrubbed form.
+    */
+  private def piiDirty: Column = concat(
+    $"text", lit(" contact user"), $"doc_id".cast("string"),
+    lit("@example.com or 10.20."), ($"doc_id" % 256).cast("string"),
+    lit(".7 phone 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+    when($"doc_id" % 3 === 0, lit(" alt admin@test.org")).otherwise(lit("")))
+
+  private def piiClean(x: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(x, piiEmailRe, "<EMAIL>"),
+        piiIpv4Re, "<IP>"),
+      piiPhoneRe, "<PHONE>")
+
+  /** c01/c03 shared: near-dup cluster retention labeling over the documents
+    * table — d10's LSH pair graph, connected components (min numeric doc_id
+    * label; ids zero-padded for CC's lexicographic min contract and cast
+    * back), then keep the longest document per cluster (raw n_tokens desc,
+    * doc_id asc tiebreak). Singletons keep themselves.
+    * Output: (doc_id, cluster, n_tokens, kept).
+    */
+  private def clusterKeepers(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select($"doc_id", graft.ops.TextAnalysis.qualityMetrics($"text").getField("n_tokens").as("n_tokens"))
+    val pairs = graft.ops.DocNearDup.lshJaccardPairs(t(s, d, "documents"), "doc_id", "text")
+    def pad(c: Column) = lpad(c.cast("string"), 12, "0")
+    val comp = graft.plans.ConnectedComponents
+      .run(s, pairs.select(pad($"id1").as("src"), pad($"id2").as("dst")))
+      .select($"id".cast("bigint").as("doc_id"), $"component".cast("bigint").as("cluster"))
+    val w = Window.partitionBy($"cluster").orderBy($"n_tokens".desc, $"doc_id")
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce($"cluster", $"doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .select($"doc_id", $"cluster", $"n_tokens",
+        when($"rn" === 1, 1).otherwise(0).as("kept"))
+  }
+
   /** Flagship: full near-dup pipeline on a small deterministic synthetic
     * transcript corpus; returns the cluster assignment (driver smoke-checks
     * rows > 0).
@@ -527,21 +566,7 @@ object SparkEntry {
     // and cast back, so the label equals the numeric min doc_id. The oracle
     // re-derives EVERYTHING: brute-force Jaccard pairs, recursive-closure
     // components, and the per-cluster argmax.
-    "c01_cluster_keep_best" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .select($"doc_id", graft.ops.TextAnalysis.qualityMetrics($"text").getField("n_tokens").as("n_tokens"))
-      val pairs = graft.ops.DocNearDup.lshJaccardPairs(t(s, d, "documents"), "doc_id", "text")
-      def pad(c: Column) = lpad(c.cast("string"), 12, "0")
-      val comp = graft.plans.ConnectedComponents
-        .run(s, pairs.select(pad($"id1").as("src"), pad($"id2").as("dst")))
-        .select($"id".cast("bigint").as("doc_id"), $"component".cast("bigint").as("cluster"))
-      val w = Window.partitionBy($"cluster").orderBy($"n_tokens".desc, $"doc_id")
-      docs.join(comp, Seq("doc_id"), "left")
-        .withColumn("cluster", coalesce($"cluster", $"doc_id"))
-        .withColumn("rn", row_number().over(w))
-        .select($"doc_id", $"cluster", $"n_tokens",
-          when($"rn" === 1, 1).otherwise(0).as("kept"))
-    }),
+    "c01_cluster_keep_best" -> ((s, d) => clusterKeepers(s, d)),
 
     // ---- PII redaction (curation): scrub emails / IPv4s / phone-shaped
     // tokens to typed placeholders and count what was removed — the standard
@@ -553,24 +578,39 @@ object SparkEntry {
     // and DuckDB compile them identically. Pure map-side projection — no
     // shuffle; `dirty` is referenced 4x so CollapseProject keeps it bound
     // once per row rather than inlining the concat into every use.
-    "c02_pii_scrub" -> ((s, d) => {
-      val dirty = concat(
-        $"text", lit(" contact user"), $"doc_id".cast("string"),
-        lit("@example.com or 10.20."), ($"doc_id" % 256).cast("string"),
-        lit(".7 phone 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
-        when($"doc_id" % 3 === 0, lit(" alt admin@test.org")).otherwise(lit("")))
+    "c02_pii_scrub" -> ((s, d) =>
       t(s, d, "documents")
-        .withColumn("x", dirty)
+        .withColumn("x", piiDirty)
         .select(
           $"doc_id",
-          regexp_replace(
-            regexp_replace(
-              regexp_replace($"x", piiEmailRe, "<EMAIL>"),
-              piiIpv4Re, "<IP>"),
-            piiPhoneRe, "<PHONE>").as("clean_text"),
+          piiClean($"x").as("clean_text"),
           regexp_count($"x", lit(piiEmailRe)).cast("int").as("n_emails"),
           regexp_count($"x", lit(piiIpv4Re)).cast("int").as("n_ips"),
-          regexp_count($"x", lit(piiPhoneRe)).cast("int").as("n_phones"))
+          regexp_count($"x", lit(piiPhoneRe)).cast("int").as("n_phones"))),
+
+    // ---- end-to-end curation pipeline (composition): scrub → quality gate
+    // → near-dup retention → stratified sample → token packing — each stage
+    // an operator proven above (c02, t01-shape gate, c01, d09, t03). The
+    // oracle recomposes ALL five stages in one recursive SQL (pairs brute-
+    // forced, components re-derived, scrub re-run under RE2) so the
+    // COMPOSITION — stage order and column flow — is cross-engine-checked,
+    // not just the pieces. Packing budgets count the SCRUBBED token stream
+    // (placeholders count); retention ranks on raw counts (c01's contract).
+    "c03_curation_pipeline" -> ((s, d) => {
+      val keep = clusterKeepers(s, d).where($"kept" === 1).select($"doc_id")
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("n_tokens", size(split(piiClean(piiDirty), " ")))
+        .where($"n_tokens" >= 12)
+        .join(keep, Seq("doc_id"), "semi")
+        .withColumn(
+          "bucket",
+          conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10).cast("long") % 100)
+        .where(($"lang" === "en" && $"bucket" < 50) || ($"lang" =!= "en" && $"bucket" < 80))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .withColumn("shard", expr("CAST(cum - n_tokens AS BIGINT) div 512"))
+        .select($"doc_id", $"source", $"lang", $"n_tokens", $"shard")
     }),
 
     // ---- deterministic stratified sampling (training-data curation):
@@ -1271,6 +1311,62 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(x, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
         |  CAST(len(regexp_extract_all(x, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones
         |FROM dirty""".stripMargin,
+    // c03: the whole five-stage curation composition re-executed from
+    // scratch — c01's recursive-closure retention, c02's RE2 re-scrub,
+    // d09's md5-bucket sample rule, and t03's per-source packing window,
+    // composed in the same stage order as the Spark plan
+    "c03_curation_pipeline" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |pr AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 10
+        |        >= len(list_distinct(list_concat(a.grams, b.grams))) * 7),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS rt FROM documents),
+        |lab AS (
+        |  SELECT q.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY comp.cluster ORDER BY q.rt DESC, q.doc_id) AS rn
+        |  FROM q JOIN comp USING (doc_id)),
+        |keepers AS (SELECT doc_id FROM lab WHERE rn = 1),
+        |dirty AS (
+        |  SELECT doc_id, lang, source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.20.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.7 phone 555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' alt admin@test.org' ELSE '' END AS x
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split(
+        |      regexp_replace(regexp_replace(regexp_replace(x,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |        '\b\d{3}-\d{4}\b', '<PHONE>', 'g'), ' ')) AS INT) AS n_tokens
+        |  FROM dirty),
+        |surv AS (
+        |  SELECT f.doc_id, f.source, f.lang, f.n_tokens
+        |  FROM feat f JOIN keepers USING (doc_id)
+        |  WHERE f.n_tokens >= 12
+        |    AND ((f.lang = 'en' AND (('0x' || substr(md5(f.doc_id::VARCHAR), 1, 15))::BIGINT) % 100 < 50)
+        |      OR (f.lang <> 'en' AND (('0x' || substr(md5(f.doc_id::VARCHAR), 1, 15))::BIGINT) % 100 < 80))),
+        |packed AS (
+        |  SELECT doc_id, source, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM surv)
+        |SELECT doc_id, source, lang, CAST(n_tokens AS INT) AS n_tokens,
+        |  ((cum - n_tokens)::BIGINT // 512) AS shard
+        |FROM packed""".stripMargin,
     "d09_sample_stratified" ->
       """WITH b AS (
         |  SELECT doc_id, lang, source,

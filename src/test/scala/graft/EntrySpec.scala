@@ -73,7 +73,7 @@ class EntrySpec extends AnyFunSuite {
       "d01_exact_dedup", "d02_ngram_jaccard", "d03_token_stats", "d04_source_stats",
       "d05_langid", "d06_fingerprints", "d07_substring_dup", "d08_decontaminate",
       "d09_sample_stratified", "d10_lsh_neardup", "d11_simhash_neardup",
-      "c01_cluster_keep_best", "c02_pii_scrub",
+      "c01_cluster_keep_best", "c02_pii_scrub", "c03_curation_pipeline",
       "t01_quality", "t02_subword", "t03_token_packing", "q25_keyword_classify")
     for (q <- docQueries) {
       val n =
@@ -183,6 +183,31 @@ class EntrySpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(out(0) == ((3L, "hello world contact <EMAIL> or <IP> phone <PHONE> alt <EMAIL>", 2, 1, 1)))
     assert(out(1) == ((4L, "plain text here contact <EMAIL> or <IP> phone <PHONE>", 1, 1, 1)))
+  }
+
+  test("c03: composed curation pipeline — each stage has a dedicated casualty") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-c03").toString
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"v$i").mkString(" ")
+    // md5-bucket(id) = 48,66,23,55,95,57 for ids 1,2,3,7,9,10; lang 'de' → keep bucket < 80.
+    Seq(
+      (1L, base, "de", "src0"),                        // near-dup loser: retention drops it
+      (2L, base + " x1 x2 x3 x4", "de", "src0"),       // cluster keeper → survives, 34+6 clean tokens
+      (3L, base + " x1 x2", "de", "src0"),             // near-dup loser
+      (7L, other, "de", "src1"),                       // singleton → survives, 30+6
+      (9L, "solo doc sharing no gram with anything", "de", "src2"), // keeper, gate ok (7+8=15) but bucket 95: SAMPLE drops it
+      (10L, "a b", "de", "src3")                       // keeper, bucket 57 ok, but 2+6=8 < 12: GATE drops it
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("c03_curation_pipeline")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (2L, "src0", "de", 40, 0L),
+      (7L, "src1", "de", 36, 0L)),
+      s"survivors must be exactly the sampled keepers passing the gate; got ${out.toSeq}")
   }
 
   test("d09: sampling is deterministic, bucket-bounded, and per-stratum") {

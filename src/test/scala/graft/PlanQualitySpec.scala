@@ -164,6 +164,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(s.contains("Window"), s"c01 keeps per-cluster argmax as a window:\n${s.take(2000)}")
   }
 
+  test("curation composition plans keyed joins + per-source window, no cartesian") {
+    // the retention subplan inside c03 is the gated d10+CC path; this pins
+    // the composition: semi join on keepers, one packing window, no blowup
+    val df = SparkEntry.queries("c03_curation_pipeline")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"c03 must stay keyed:\n${s.take(2000)}")
+    assert(s.contains("Window"), s"c03 packs via a window:\n${s.take(2000)}")
+  }
+
   test("PII scrub is a pure map-side projection (no shuffle, no join)") {
     val df = SparkEntry.queries("c02_pii_scrub")(spark, sf)
     val s = df.queryExecution.executedPlan.toString
