@@ -38,53 +38,15 @@ object SparkEntry {
     */
   private def threeGrams(text: Column): Column = T.wordGrams(text, 3)
 
-  /** c02 scrub patterns — restricted to the Java∩RE2 common regex dialect
-    * (character classes, bounded repetition, `\b`; no lookaround or
-    * backreferences) so Spark's java.util.regex and DuckDB's RE2 match the
-    * exact same spans.
-    */
-  private val piiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  private val piiIpv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
-  private val piiPhoneRe = """\b\d{3}-\d{4}\b"""
-
   /** c02/c03 shared: documents text with deterministic pseudo-PII planted
     * from doc_id (the synthetic corpus contains none), and its scrubbed form.
+    * The scrub/retention operators themselves live in `ops/Curation`.
     */
   private def piiDirty: Column = concat(
     $"text", lit(" contact user"), $"doc_id".cast("string"),
     lit("@example.com or 10.20."), ($"doc_id" % 256).cast("string"),
     lit(".7 phone 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
     when($"doc_id" % 3 === 0, lit(" alt admin@test.org")).otherwise(lit("")))
-
-  private def piiClean(x: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(x, piiEmailRe, "<EMAIL>"),
-        piiIpv4Re, "<IP>"),
-      piiPhoneRe, "<PHONE>")
-
-  /** c01/c03 shared: near-dup cluster retention labeling over the documents
-    * table — d10's LSH pair graph, connected components (min numeric doc_id
-    * label; ids zero-padded for CC's lexicographic min contract and cast
-    * back), then keep the longest document per cluster (raw n_tokens desc,
-    * doc_id asc tiebreak). Singletons keep themselves.
-    * Output: (doc_id, cluster, n_tokens, kept).
-    */
-  private def clusterKeepers(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-      .select($"doc_id", graft.ops.TextAnalysis.qualityMetrics($"text").getField("n_tokens").as("n_tokens"))
-    val pairs = graft.ops.DocNearDup.lshJaccardPairs(t(s, d, "documents"), "doc_id", "text")
-    def pad(c: Column) = lpad(c.cast("string"), 12, "0")
-    val comp = graft.plans.ConnectedComponents
-      .run(s, pairs.select(pad($"id1").as("src"), pad($"id2").as("dst")))
-      .select($"id".cast("bigint").as("doc_id"), $"component".cast("bigint").as("cluster"))
-    val w = Window.partitionBy($"cluster").orderBy($"n_tokens".desc, $"doc_id")
-    docs.join(comp, Seq("doc_id"), "left")
-      .withColumn("cluster", coalesce($"cluster", $"doc_id"))
-      .withColumn("rn", row_number().over(w))
-      .select($"doc_id", $"cluster", $"n_tokens",
-        when($"rn" === 1, 1).otherwise(0).as("kept"))
-  }
 
   /** Flagship: full near-dup pipeline on a small deterministic synthetic
     * transcript corpus; returns the cluster assignment (driver smoke-checks
@@ -566,7 +528,7 @@ object SparkEntry {
     // and cast back, so the label equals the numeric min doc_id. The oracle
     // re-derives EVERYTHING: brute-force Jaccard pairs, recursive-closure
     // components, and the per-cluster argmax.
-    "c01_cluster_keep_best" -> ((s, d) => clusterKeepers(s, d)),
+    "c01_cluster_keep_best" -> ((s, d) => graft.ops.Curation.keepBest(s, t(s, d, "documents"))),
 
     // ---- PII redaction (curation): scrub emails / IPv4s / phone-shaped
     // tokens to typed placeholders and count what was removed — the standard
@@ -581,12 +543,11 @@ object SparkEntry {
     "c02_pii_scrub" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("x", piiDirty)
+        .withColumn("c", graft.ops.Curation.piiCounts($"x"))
         .select(
           $"doc_id",
-          piiClean($"x").as("clean_text"),
-          regexp_count($"x", lit(piiEmailRe)).cast("int").as("n_emails"),
-          regexp_count($"x", lit(piiIpv4Re)).cast("int").as("n_ips"),
-          regexp_count($"x", lit(piiPhoneRe)).cast("int").as("n_phones"))),
+          graft.ops.Curation.scrubPii($"x").as("clean_text"),
+          $"c.n_emails", $"c.n_ips", $"c.n_phones")),
 
     // ---- end-to-end curation pipeline (composition): scrub → quality gate
     // → near-dup retention → stratified sample → token packing — each stage
@@ -597,11 +558,12 @@ object SparkEntry {
     // not just the pieces. Packing budgets count the SCRUBBED token stream
     // (placeholders count); retention ranks on raw counts (c01's contract).
     "c03_curation_pipeline" -> ((s, d) => {
-      val keep = clusterKeepers(s, d).where($"kept" === 1).select($"doc_id")
+      val keep = graft.ops.Curation.keepBest(s, t(s, d, "documents"))
+        .where($"kept" === 1).select($"doc_id")
       val w = Window.partitionBy($"source").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "documents")
-        .withColumn("n_tokens", size(split(piiClean(piiDirty), " ")))
+        .withColumn("n_tokens", size(split(graft.ops.Curation.scrubPii(piiDirty), " ")))
         .where($"n_tokens" >= 12)
         .join(keep, Seq("doc_id"), "semi")
         .withColumn(

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Cols._
+
+/** Corpus-curation operators as standalone library calls: PII scrubbing and
+  * near-duplicate cluster retention over any (integral id, text) document
+  * table. These are the reusable forms behind the c01/c02/c03 driver
+  * queries; the reference analogue is the post-clustering keep/drop pass a
+  * training-data pipeline runs after dedup (keep one representative per
+  * duplicate cluster, scrub identifying spans before publication).
+  */
+object Curation {
+
+  /** Scrub patterns — restricted to the Java∩RE2 common regex dialect
+    * (character classes, bounded repetition, `\b`; no lookaround or
+    * backreferences) so Spark's java.util.regex and an RE2-based engine
+    * (DuckDB, Go) match the exact same spans.
+    */
+  val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val phoneRe = """\b\d{3}-\d{4}\b"""
+
+  /** Redact email / IPv4 / phone spans to typed placeholders. Map-side,
+    * codegen'd regexp engine; null text stays null.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-pattern match counts on the UNscrubbed text:
+    * struct(n_emails, n_ips, n_phones).
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailRe)).cast("int").as("n_emails"),
+    regexp_count(text, lit(ipv4Re)).cast("int").as("n_ips"),
+    regexp_count(text, lit(phoneRe)).cast("int").as("n_phones"))
+
+  /** Near-dup cluster retention labeling: d10's MinHash-LSH pair graph
+    * (exact word-3-gram Jaccard >= tauTenths/10), connected components
+    * labeled by the numeric min id (ids are zero-padded for CC's
+    * lexicographic min contract and cast back), then keep the LONGEST
+    * document per cluster (raw whitespace token count desc, id asc
+    * tiebreak). Singletons keep themselves. `idCol` must be integral and
+    * non-negative (the zero-pad order embedding).
+    *
+    * Output: (idCol, cluster, n_tokens, kept 1|0). Shape: one bucket
+    * shuffle into the capped pair emitter, O(log n) CC rounds, one keyed
+    * join + one per-cluster window — nothing quadratic, skew-capped
+    * upstream.
+    */
+  def keepBest(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tauTenths: Int = 7): DataFrame = {
+    val base = docs.select(
+      col(idCol).cast("bigint").as(idCol),
+      TextAnalysis.qualityMetrics(col(textCol)).getField("n_tokens").as("n_tokens"))
+    val pairs = DocNearDup.lshJaccardPairs(docs, idCol, textCol, tauTenths = tauTenths)
+    def pad(c: Column) = lpad(c.cast("string"), 12, "0")
+    val comp = graft.plans.ConnectedComponents
+      .run(spark, pairs.select(pad($"id1").as("src"), pad($"id2").as("dst")))
+      .select($"id".cast("bigint").as(idCol), $"component".cast("bigint").as("cluster"))
+    val w = Window.partitionBy($"cluster").orderBy($"n_tokens".desc, col(idCol))
+    base.join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce($"cluster", col(idCol)))
+      .withColumn("rn", row_number().over(w))
+      .select(col(idCol), $"cluster", $"n_tokens",
+        when($"rn" === 1, 1).otherwise(0).as("kept"))
+  }
+}

@@ -430,4 +430,30 @@ class OpsSpec extends AnyFunSuite {
     info(f"text->embedding->IVF recall@3 = $recall%.3f")
     assert(recall >= 0.8)
   }
+
+  // ---------- Curation (direct library API; driver queries c01-c03 delegate here) ----------
+
+  test("Curation.scrubPii redacts all three pattern families; null stays null") {
+    val df = Seq(
+      ("a", "mail bob.smith+x@corp.example.co then 192.168.0.1 then 555-1234 done"),
+      ("b", "nothing to scrub here"),
+      ("c", null.asInstanceOf[String])
+    ).toDF("id", "t").select(col("id"), graft.ops.Curation.scrubPii(col("t")).as("s"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("a") == "mail <EMAIL> then <IP> then <PHONE> done")
+    assert(got("b") == "nothing to scrub here")
+    assert(got("c") == null)
+  }
+
+  test("Curation.keepBest labels clusters by min id and keeps the longest doc") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (5L, base),
+      (6L, base + " y1 y2 y3"), // keeper of {5,6}
+      (9L, "unrelated vocabulary entirely different tokens here")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curation.keepBest(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((5L, 5L, 0), (6L, 5L, 1), (9L, 9L, 1)))
+  }
 }
