@@ -38,6 +38,24 @@ object SparkEntry {
     */
   private def threeGrams(text: Column): Column = T.wordGrams(text, 3)
 
+  /** d09/c03 shared sampling key: deterministic per-doc percentile from the
+    * md5 of the id — reruns/backfills draw the same bucket. ONE definition so
+    * the Spark side can never desynchronize from the oracle-pinned SQL form
+    * `('0x' || substr(md5(id),1,15))::BIGINT % 100`.
+    */
+  private def md5Bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % 100
+
+  /** t03/c03 shared packing: greedy per-source prefix packing into 512-token
+    * shards over the deterministic doc_id order (shard = full budgets before
+    * this doc; floor == integer div for the non-negative counts).
+    */
+  private val packWindow = Window.partitionBy($"source").orderBy($"doc_id")
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  private def packShard(nTokens: Column): Column =
+    floor((sum(nTokens).over(packWindow) - nTokens) / 512).cast("bigint")
+
   /** c02/c03 shared: documents text with deterministic pseudo-PII planted
     * from doc_id (the synthetic corpus contains none), and its scrubbed form.
     * The scrub/retention operators themselves live in `ops/Curation`.
@@ -560,19 +578,14 @@ object SparkEntry {
     "c03_curation_pipeline" -> ((s, d) => {
       val keep = graft.ops.Curation.keepBest(s, t(s, d, "documents"))
         .where($"kept" === 1).select($"doc_id")
-      val w = Window.partitionBy($"source").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "documents")
         .withColumn("n_tokens", size(split(graft.ops.Curation.scrubPii(piiDirty), " ")))
         .where($"n_tokens" >= 12)
         .join(keep, Seq("doc_id"), "semi")
-        .withColumn(
-          "bucket",
-          conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10).cast("long") % 100)
+        .withColumn("bucket", md5Bucket($"doc_id"))
         .where(($"lang" === "en" && $"bucket" < 50) || ($"lang" =!= "en" && $"bucket" < 80))
-        .withColumn("cum", sum($"n_tokens").over(w))
-        .withColumn("shard", expr("CAST(cum - n_tokens AS BIGINT) div 512"))
-        .select($"doc_id", $"source", $"lang", $"n_tokens", $"shard")
+        .select($"doc_id", $"source", $"lang", $"n_tokens",
+          packShard($"n_tokens").as("shard"))
     }),
 
     // ---- deterministic stratified sampling (training-data curation):
@@ -583,10 +596,7 @@ object SparkEntry {
     // (seeded `sample()` depends on partitioning; a content hash does not)
     "d09_sample_stratified" -> ((s, d) => {
       t(s, d, "documents")
-        .withColumn(
-          "bucket",
-          conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10).cast("long") % 100
-        )
+        .withColumn("bucket", md5Bucket($"doc_id"))
         .where(($"lang" === "en" && $"bucket" < 50) || ($"lang" =!= "en" && $"bucket" < 80))
         .select($"doc_id", $"lang", $"source", $"bucket")
     }),
@@ -598,13 +608,9 @@ object SparkEntry {
     // partition-parallel form; a GLOBAL packing order would be a
     // single-partition sort bottleneck at scale
     "t03_token_packing" -> ((s, d) => {
-      val w = Window.partitionBy($"source").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "documents")
         .withColumn("n_tokens", size(split($"text", " ")))
-        .withColumn("cum", sum($"n_tokens").over(w))
-        .withColumn("shard", expr("CAST(cum - n_tokens AS BIGINT) div 512"))
-        .select($"doc_id", $"source", $"n_tokens", $"shard")
+        .select($"doc_id", $"source", $"n_tokens", packShard($"n_tokens").as("shard"))
     }),
 
     // ---- sign-LSH bucketed ANN over embeddings (rows-only approximate op)

@@ -44,16 +44,22 @@ object Curation {
 
   /** Near-dup cluster retention labeling: d10's MinHash-LSH pair graph
     * (exact word-3-gram Jaccard >= tauTenths/10), connected components
-    * labeled by the numeric min id (ids are zero-padded for CC's
+    * labeled by the numeric min id (ids are zero-padded to 20 chars — the
+    * full non-negative bigint width, so no id can truncate — for CC's
     * lexicographic min contract and cast back), then keep the LONGEST
-    * document per cluster (raw whitespace token count desc, id asc
-    * tiebreak). Singletons keep themselves. `idCol` must be integral and
-    * non-negative (the zero-pad order embedding).
+    * document per cluster (RAW whitespace token count desc, id asc
+    * tiebreak — raw, not normalized, so an independent SQL engine's
+    * split-on-space count ranks identically). Singletons keep themselves.
+    * `idCol` must be integral and non-negative (the zero-pad order
+    * embedding).
     *
     * Output: (idCol, cluster, n_tokens, kept 1|0). Shape: one bucket
     * shuffle into the capped pair emitter, O(log n) CC rounds, one keyed
     * join + one per-cluster window — nothing quadratic, skew-capped
-    * upstream.
+    * upstream. The pair edges are eagerly localCheckpoint'ed before CC so
+    * its size probe + star rounds reuse one materialization instead of
+    * re-running the shingle/signature/verify DAG (CC.run itself pins the
+    * same way on its iterative path).
     */
   def keepBest(
       spark: SparkSession,
@@ -63,11 +69,14 @@ object Curation {
       tauTenths: Int = 7): DataFrame = {
     val base = docs.select(
       col(idCol).cast("bigint").as(idCol),
-      TextAnalysis.qualityMetrics(col(textCol)).getField("n_tokens").as("n_tokens"))
+      size(split(col(textCol), " ")).cast("bigint").as("n_tokens"))
     val pairs = DocNearDup.lshJaccardPairs(docs, idCol, textCol, tauTenths = tauTenths)
-    def pad(c: Column) = lpad(c.cast("string"), 12, "0")
+    def pad(c: Column) = lpad(c.cast("string"), 20, "0")
+    val edges = pairs
+      .select(pad($"id1").as("src"), pad($"id2").as("dst"))
+      .localCheckpoint(true)
     val comp = graft.plans.ConnectedComponents
-      .run(spark, pairs.select(pad($"id1").as("src"), pad($"id2").as("dst")))
+      .run(spark, edges)
       .select($"id".cast("bigint").as(idCol), $"component".cast("bigint").as("cluster"))
     val w = Window.partitionBy($"cluster").orderBy($"n_tokens".desc, col(idCol))
     base.join(comp, Seq(idCol), "left")
