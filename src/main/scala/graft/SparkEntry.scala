@@ -430,13 +430,14 @@ object SparkEntry {
     // ---- embedding cosine top-k (ANN brute-force baseline; quantized to
     // integer dot products so both engines agree bit-for-bit)
     "e01_cosine_topk" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-        // corpus hygiene, mirrored in the oracle: a null/short/non-finite
-        // embedding is a task failure downstream (NaN overflows the ANSI
-        // milli-quant cast; mismatched dims zip to nulls that the two
-        // engines aggregate differently), not a wrong number
-        .where($"embedding".isNotNull && size($"embedding") === 64 &&
-          !exists($"embedding", v => isnan(v) || abs(v.cast("double")) > lit(Float.MaxValue.toDouble)))
+      // corpus hygiene, mirrored in the oracle: a null/short/non-finite
+      // embedding is a task failure downstream (NaN overflows the ANSI
+      // milli-quant cast; mismatched dims zip to nulls that the two
+      // engines aggregate differently), not a wrong number. ONE shared
+      // definition (Ann.finiteVecs) — note its three-valued `exists` also
+      // drops vectors containing a null ELEMENT, which the oracle must
+      // (and does) exclude explicitly
+      val emb = graft.ops.Ann.finiteVecs(t(s, d, "embeddings"), "embedding", 64)
         .select($"vec_id", transform($"embedding", x => round(x.cast("double") * 1000).cast("long")).as("q"))
       val queries = emb.filter($"vec_id" % 25 === 0)
         .select($"vec_id".as("qid"), $"q".as("qv"))
@@ -879,10 +880,15 @@ object SparkEntry {
     * arithmetic exactly: per-element float->double products, strict
     * left-fold double sums, double sqrt/divide — verified bit-identical.
     */
-  private def duckCos(a: String, b: String): String =
-    s"""list_sum(list_transform(list_zip($a, $b), t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
-       |    / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-       |       SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+  private def duckCos(a: String, b: String): String = {
+    // mirrors Ann.cosine EXACTLY, including its zero-norm branch (cos = 0.0
+    // for zero vectors, which finiteVecs deliberately keeps) — a bare
+    // division would yield NULL/NaN here and diverge on such corpora
+    def nrm(v: String) = s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    s"""CASE WHEN ${nrm(a)} = 0 OR ${nrm(b)} = 0 THEN 0.0
+       |    ELSE list_sum(list_transform(list_zip($a, $b), t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+       |    / (SQRT(${nrm(a)}) * SQRT(${nrm(b)})) END""".stripMargin
+  }
 
   /** Cross-engine oracle for the approximate top-k queries: the golden file
     * contributes ONLY (query_id, neighbor_id) candidate pairs; cosines are
@@ -1364,7 +1370,8 @@ object SparkEntry {
         |  SELECT vec_id, [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS qv
         |  FROM embeddings
         |  WHERE embedding IS NOT NULL AND len(embedding) = 64
-        |    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+        |    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         |pairs AS (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
         |    list_sum(list_transform(list_zip(a.qv, b.qv), t -> t[1] * t[2])) AS dot,

@@ -223,12 +223,18 @@ object Ann {
   ): Array[Array[Double]] = {
     val quant = quantExpr
 
-    // the corpus dim is the modal well-formed vector size (one tiny
+    // the corpus dim is the modal WELL-FORMED vector size (one tiny
     // map-side-combined aggregate; ties break to the smaller size,
-    // deterministically); degenerate rows are then excluded — see
-    // finiteVecs. An all-degenerate corpus trains no centroids.
+    // deterministically). The mode is taken over vectors that would
+    // survive finiteVecs — counting merely non-null rows would let a
+    // majority class of garbage (e.g. one bad encoder batch of all-NaN
+    // dim-64 rows) pick a size whose finiteVecs pass is then EMPTY,
+    // silently disabling the index while valid vectors of another size
+    // exist. An all-degenerate corpus trains no centroids.
     val dimRow = corpus
-      .where(col("vec").isNotNull)
+      .where(col("vec").isNotNull &&
+        !exists(col("vec"), v =>
+          v.isNull || isnan(v) || abs(v.cast("double")) > lit(Float.MaxValue.toDouble)))
       .groupBy(size(col("vec")).as("sz")).agg(count(lit(1)).as("cnt"))
       .where(col("sz") >= 1)
       .orderBy(col("cnt").desc, col("sz").asc)

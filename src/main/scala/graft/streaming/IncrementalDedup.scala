@@ -128,11 +128,16 @@ object IncrementalDedup {
       sys.error(s"stores at ${stores.sigStore} exist without a layout meta file ($mp): " +
         "created by an incompatible (pre-sharding) version — rebuild the stores")
     } else {
-      val out = fs.create(mp, true)
+      // write-then-rename so a crash mid-write can never leave a truncated
+      // meta file that permanently fails every later run (same atomicity
+      // pattern as the compaction swap below)
+      val tmp = new org.apache.hadoop.fs.Path(mp.toString + "__tmp")
+      val out = fs.create(tmp, true)
       try out.write(
         s"""{"bucketShards":${stores.bucketShards},"sigShards":${stores.sigShards}}"""
           .getBytes("UTF-8"))
       finally out.close()
+      require(fs.rename(tmp, mp), s"cannot move store meta into place: $tmp -> $mp")
     }
   }
 
@@ -174,7 +179,10 @@ object IncrementalDedup {
     // directories (only _SUCCESS) that break the next batch's read
     if (batch.isEmpty) return (0L, 0L)
     validateOrWriteMeta(spark, stores)
-    val assembled = Dedup.assemble(batch)
+    // cached: the idempotence branch below reads it twice (shard-set
+    // collect + anti-join into signatures) — uncached, the assemble
+    // groupBy shuffle would run twice per batch
+    val assembled = Dedup.assemble(batch).cache()
     // idempotent ingest: drop conversations the signature store already
     // holds (replayed files after a checkpoint reset, backfill overlap, a
     // post-TTL assembly straggler re-opening a closed conv) — the store is
@@ -194,7 +202,8 @@ object IncrementalDedup {
           "left_anti")
       }
     val newSigs = Dedup.signatures(Dedup.shingle(docs, cfg), cfg).cache()
-    val nNew = newSigs.count()
+    val nNew = newSigs.count() // newSigs now materialized; assembled no longer needed
+    assembled.unpersist()
     if (nNew == 0) { newSigs.unpersist(); return (0L, 0L) } // batch already ingested
 
     // (a) new x new — the batch generator over just this batch's signatures
