@@ -274,12 +274,17 @@ object SparkEntry {
             .cast("decimal(38,4)")).cast("double").as("syy")
         )
         .select(
-          $"l_returnflag",
-          round(
-            ($"n" * $"sxy" - $"sx" * $"sy") /
-              sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")),
-            6
-          ).as("corr_qty_price")
+          $"l_returnflag", {
+            // zero-variance (or single-row) group: correlation is undefined —
+            // emit 0.0 explicitly on BOTH sides rather than let 0/0 produce
+            // an engine-specific NaN/NULL; greatest(.,0) absorbs the tiny
+            // negative residue double arithmetic can leave under the sqrt
+            val vx = greatest($"n" * $"sxx" - $"sx" * $"sx", lit(0.0))
+            val vy = greatest($"n" * $"syy" - $"sy" * $"sy", lit(0.0))
+            when(vx === 0.0 || vy === 0.0, lit(0.0))
+              .otherwise(round(($"n" * $"sxy" - $"sx" * $"sy") / sqrt(vx * vy), 6))
+              .as("corr_qty_price")
+          }
         )
     }),
 
@@ -437,7 +442,13 @@ object SparkEntry {
       // definition (Ann.finiteVecs) — note its three-valued `exists` also
       // drops vectors containing a null ELEMENT, which the oracle must
       // (and does) exclude explicitly
+      // magnitude gate ON TOP of finiteVecs: the milli-quant long sums
+      // overflow ANSI arithmetic for components beyond ~3.8e5 (64 squares of
+      // (1e5*1000)^2 = 6.4e17 stays under Long.MaxValue) while DuckDB's
+      // HUGEINT-widening list_sum would keep going — bound both engines to
+      // the same domain so neither crashes nor diverges
       val emb = graft.ops.Ann.finiteVecs(t(s, d, "embeddings"), "embedding", 64)
+        .where(!exists($"embedding", v => abs(v.cast("double")) > lit(1e5)))
         .select($"vec_id", transform($"embedding", x => round(x.cast("double") * 1000).cast("long")).as("q"))
       val queries = emb.filter($"vec_id" % 25 === 0)
         .select($"vec_id".as("qid"), $"q".as("qv"))
@@ -1003,7 +1014,7 @@ object SparkEntry {
     // indexes with row_number() over the same total orders and re-joins
     "j01_zip_join" ->
       """WITH l AS (SELECT doc_id, source,
-        |    ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn FROM documents),
+        |    ROW_NUMBER() OVER (ORDER BY doc_id NULLS FIRST) - 1 AS rn FROM documents),
         |r AS (SELECT doc_id AS rdoc_id, LENGTH(text) AS text_len,
         |    ROW_NUMBER() OVER (ORDER BY doc_id DESC) - 1 AS rn FROM documents)
         |SELECT l.rn AS rn, doc_id, source, rdoc_id, text_len
@@ -1045,7 +1056,7 @@ object SparkEntry {
     "q08_window_running" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber NULLS FIRST, l_quantity NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
     "q09_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
@@ -1073,7 +1084,7 @@ object SparkEntry {
     "q16_dupkeys" ->
       "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1",
     "q17_grouplist" ->
-      """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+      """SELECT s_nationkey, COALESCE(string_agg(s_name, ',' ORDER BY s_name), '') AS names
         |FROM supplier GROUP BY s_nationkey""".stripMargin,
     "q18_condsum" ->
       """SELECT l_linestatus,
@@ -1082,7 +1093,10 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q19_corr" ->
       """SELECT l_returnflag,
-        |  ROUND((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+        |  CASE WHEN GREATEST(n * sxx - sx * sx, 0) = 0 OR GREATEST(n * syy - sy * sy, 0) = 0 THEN 0.0
+        |       ELSE ROUND((n * sxy - sx * sy)
+        |         / SQRT(GREATEST(n * sxx - sx * sx, 0) * GREATEST(n * syy - sy * sy, 0)), 6)
+        |  END AS corr_qty_price
         |FROM (
         |  SELECT l_returnflag,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
@@ -1098,7 +1112,7 @@ object SparkEntry {
     "q21_chain_edges" ->
       """SELECT o_custkey, src, dst FROM (
         |  SELECT o_custkey, o_orderkey AS src,
-        |    LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS dst
+        |    LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS dst
         |  FROM orders) WHERE dst IS NOT NULL""".stripMargin,
     "q22_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
@@ -1109,7 +1123,7 @@ object SparkEntry {
         |         OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) >= 1800
         |         THEN 1 ELSE 0 END AS brk
         |  FROM (SELECT user_id, ts,
-        |          LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |          LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_ts
         |        FROM events))
         |GROUP BY user_id""".stripMargin,
     "q24_event_window" ->
@@ -1130,6 +1144,7 @@ object SparkEntry {
     "q26_sessions" ->
       """WITH e AS (
         |  SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_ms(ts) AS tms FROM events
+        |  WHERE ts IS NOT NULL
         |), marked AS (
         |  SELECT user_id, tms,
         |    CASE WHEN LAG(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
@@ -1158,6 +1173,7 @@ object SparkEntry {
         |  (CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) - k) * 1800 + 3600 AS win_end,
         |  event_type, COUNT(*) AS n
         |FROM events, unnest([0, 1]) AS u(k)
+        |WHERE ts IS NOT NULL
         |GROUP BY 1, 2, 3""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
@@ -1336,7 +1352,7 @@ object SparkEntry {
         |      OR (f.lang <> 'en' AND (('0x' || substr(md5(f.doc_id::VARCHAR), 1, 15))::BIGINT) % 100 < 80))),
         |packed AS (
         |  SELECT doc_id, source, lang, n_tokens,
-        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id NULLS FIRST ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM surv)
         |SELECT doc_id, source, lang, CAST(n_tokens AS INT) AS n_tokens,
         |  ((cum - n_tokens)::BIGINT // 512) AS shard
@@ -1352,26 +1368,42 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT doc_id, source,
         |    len(string_split(text, ' ')) AS n_tokens,
-        |    SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+        |    SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id NULLS FIRST
         |        ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM documents)
         |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
         |  ((cum - n_tokens)::BIGINT // 512) AS shard
         |FROM c""".stripMargin,
+    // t01: the oracle mirrors T.normalize-then-tokenize EXACTLY (lowercase,
+    // non-alnum runs -> one space, trim, empty -> 0 tokens, null -> null
+    // count with 0.0 ratios) — a raw split-on-space would diverge on any
+    // punctuated/multi-space/null text even though it agrees on the clean
+    // synthetic corpus
     "t01_quality" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS distinct_ratio,
-        |  ROUND(CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_token_len
-        |FROM documents""".stripMargin,
+      """WITH nt AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN norm IS NULL THEN NULL
+        |         WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split(norm, ' ') END AS toks,
+        |    CAST(length(text) AS DOUBLE) AS nc
+        |  FROM nt)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  ROUND(CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS distinct_ratio,
+        |  ROUND(CASE WHEN len(toks) > 0 THEN nc / len(toks) ELSE 0.0 END, 6) AS mean_token_len
+        |FROM tk""".stripMargin,
     "e01_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id, [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS qv
         |  FROM embeddings
         |  WHERE embedding IS NOT NULL AND len(embedding) = 64
         |    AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
-        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        |    AND len(list_filter(embedding, x -> abs(x) > 100000)) = 0),
         |pairs AS (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
         |    list_sum(list_transform(list_zip(a.qv, b.qv), t -> t[1] * t[2])) AS dot,

@@ -185,6 +185,20 @@ class EntrySpec extends AnyFunSuite {
     assert(out(1) == ((4L, "plain text here contact <EMAIL> or <IP> phone <PHONE>", 1, 1, 1)))
   }
 
+  test("g02 oracle doubling bound: largest golden component stays under 257 nodes") {
+    // the g02 DuckDB oracle re-derives shortest paths by 8 min-plus matrix
+    // doublings (paths of <= 2^8 = 256 edges); with positive weights every
+    // optimal path is simple, so the bound holds iff no component exceeds
+    // 256 nodes. That invariant lives in the DATA (goldenRun's synth
+    // config) — this pins it in code so a future synth/seed change cannot
+    // silently turn the oracle's COALESCE(...) into a wrong non-minimal cost
+    val maxSize = SparkEntry.queries("p01_dedup_clusters")(spark, "/root/testdata/sf0.001")
+      .agg(max("size")).collect()(0).getLong(0)
+    assert(maxSize <= 256,
+      s"largest golden component has $maxSize nodes: raise duckMinPlusDoubling's level count " +
+        "(>= ceil(log2(maxSize))) in the g02 oracle or shrink the synth config")
+  }
+
   test("c03: composed curation pipeline — each stage has a dedicated casualty") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-c03").toString
