@@ -918,7 +918,7 @@ object SparkEntry {
        |  JOIN e b ON b.id = g.neighbor_id
        |  WHERE CAST(g.query_id AS BIGINT) % $everyNth = 0 AND g.query_id <> g.neighbor_id)
        |SELECT query_id, neighbor_id, cos,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id NULLS FIRST) AS INT) AS rank
        |FROM re""".stripMargin
 
   def oracleSql: Map[String, String] = goldenQueries.map(n => n -> goldenSql(n)).toMap ++ Map(
@@ -953,7 +953,7 @@ object SparkEntry {
          |  FROM q JOIN v c ON q.id <> c.id)
          |SELECT query_id, neighbor_id, ROUND(rawcos, 6) AS cos, CAST(rn AS INT) AS rank FROM (
          |  SELECT query_id, neighbor_id, rawcos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS rn
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id NULLS FIRST) AS rn
          |  FROM s) WHERE rn <= 3""".stripMargin,
     // g02: BOTH halves fully re-derived from the pinned pair graph (no
     // result snapshot). Components come from recursive closure; shortest
@@ -1051,7 +1051,7 @@ object SparkEntry {
     "q07_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST) AS rn
         |  FROM orders) WHERE rn = 1""".stripMargin,
     "q08_window_running" ->
       """SELECT l_orderkey, l_linenumber,
@@ -1075,7 +1075,7 @@ object SparkEntry {
     "q14_argmax" ->
       """SELECT s_nationkey, s_suppkey, s_acctbal FROM (
         |  SELECT s_nationkey, s_suppkey, s_acctbal,
-        |    ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        |    ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey NULLS FIRST) AS rn
         |  FROM supplier) WHERE rn = 1""".stripMargin,
     "q15_span" ->
       """SELECT p_brand,
@@ -1115,7 +1115,7 @@ object SparkEntry {
         |    LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS dst
         |  FROM orders) WHERE dst IS NOT NULL""".stripMargin,
     "q22_topk" ->
-      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST LIMIT 10",
     "q23_event_sessions" ->
       """SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
         |  SELECT user_id,
@@ -1223,7 +1223,7 @@ object SparkEntry {
         |  SELECT train_id, eval_id,
         |    (inter::BIGINT * 1000000) // uni AS score_ppm,
         |    ROW_NUMBER() OVER (PARTITION BY train_id
-        |      ORDER BY (inter::BIGINT * 1000000) // uni DESC, eval_id) AS rn
+        |      ORDER BY (inter::BIGINT * 1000000) // uni DESC, eval_id NULLS FIRST) AS rn
         |  FROM pairs)
         |SELECT train_id, eval_id, score_ppm,
         |  CASE WHEN score_ppm >= 500000 THEN 1 ELSE 0 END AS contaminated
@@ -1277,7 +1277,7 @@ object SparkEntry {
         |lab AS (
         |  SELECT q.doc_id, comp.cluster, q.n_tokens,
         |    ROW_NUMBER() OVER (PARTITION BY comp.cluster
-        |      ORDER BY q.n_tokens DESC, q.doc_id) AS rn
+        |      ORDER BY q.n_tokens DESC, q.doc_id NULLS FIRST) AS rn
         |  FROM q JOIN comp USING (doc_id))
         |SELECT doc_id, cluster, n_tokens,
         |  CASE WHEN rn = 1 THEN 1 ELSE 0 END AS kept FROM lab""".stripMargin,
@@ -1326,7 +1326,7 @@ object SparkEntry {
         |q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS rt FROM documents),
         |lab AS (
         |  SELECT q.doc_id,
-        |    ROW_NUMBER() OVER (PARTITION BY comp.cluster ORDER BY q.rt DESC, q.doc_id) AS rn
+        |    ROW_NUMBER() OVER (PARTITION BY comp.cluster ORDER BY q.rt DESC, q.doc_id NULLS FIRST) AS rn
         |  FROM q JOIN comp USING (doc_id)),
         |keepers AS (SELECT doc_id FROM lab WHERE rn = 1),
         |dirty AS (
@@ -1418,7 +1418,7 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT qid, nid, cos, rn FROM (
         |  SELECT qid, nid, cos,
-        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid NULLS FIRST) AS rn
         |  FROM scored) WHERE rn <= 3""".stripMargin
   )
 }
