@@ -11,6 +11,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class EntrySpec extends AnyFunSuite {
   lazy val spark = Sessions.local(4, "entry-spec")
 
+  test("driver contract: queries and oracleSql carry exactly the same keys") {
+    // the driver's correctness gate needs BOTH maps per operator; a query
+    // without an oracle silently downgrades to a rows-only check, and a
+    // stale oracle key would make Verify dump SQL for a query that no
+    // longer exists
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries missing an oracleSql entry: ${noOracle.toSeq.sorted}")
+    val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"oracleSql keys without a query: ${stale.toSeq.sorted}")
+  }
+
   test("entry returns non-empty cluster assignment") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSet == Set("conv_id", "component"))
