@@ -698,12 +698,11 @@ object SparkEntry {
       val emb = t(s, d, "embeddings").select($"vec_id".cast("string").as("id"), $"embedding".as("vec"))
       val queries = emb.where($"id".cast("long") % 50 === 0)
       // under the session's own warehouse dir (per-process: Verify/Bench set
-      // distinct warehouses), keyed by a per-JVM nonce so two concurrent
-      // sessions over the same dataset can't race save(overwrite) vs probe
-      val idxPath = new java.io.File(
-        new java.io.File(new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath),
-        s"graft-ivf-${java.lang.Long.toHexString(indexNonce)}"
-      ).getAbsolutePath
+      // distinct warehouses), keyed by process + session + dataset so no
+      // concurrent evaluation — two JVMs, two sessions in one JVM (parallel
+      // suites share a pid AND can share the default warehouse), or one
+      // session over two datasets — can race save(overwrite) vs probe
+      val idxPath = scratchIndexPath(s, d, "graft-ivf")
       graft.ops.IvfIndex.save(s, graft.ops.IvfIndex.build(emb, nCells = 16), idxPath)
       graft.ops.IvfIndex.topK(queries, graft.ops.IvfIndex.load(s, idxPath), k = 3, nProbe = 4)
     }),
@@ -718,10 +717,7 @@ object SparkEntry {
     "a07_ann_ivf_add" -> ((s, d) => {
       val emb = t(s, d, "embeddings").select($"vec_id".cast("string").as("id"), $"embedding".as("vec"))
       val queries = emb.where($"id".cast("long") % 50 === 0)
-      val idxPath = new java.io.File(
-        new java.io.File(new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath),
-        s"graft-ivf-add-${java.lang.Long.toHexString(indexNonce)}"
-      ).getAbsolutePath
+      val idxPath = scratchIndexPath(s, d, "graft-ivf-add")
       val centroids = graft.ops.Ann.trainCentroids(emb, nCells = 16)
       val half1 = emb.where(pmod(xxhash64($"id"), lit(2)) === 0)
       val half2 = emb.where(pmod(xxhash64($"id"), lit(2)) === 1)
@@ -861,11 +857,25 @@ object SparkEntry {
     * a hardcoded absolute path: GRAFT_GOLDEN_DIR overrides, else the process
     * working directory (Verify/MakeGolden run from the repo root).
     */
-  /** Per-JVM nonce for scratch artifact paths (a06's persisted index): two
-    * concurrent processes over the same dataset (bench + verify) must not
+  /** Scratch path for a persisted-index query (a06/a07), unique per
+    * (process, session, dataset): two concurrent evaluations must never
     * share an index dir — save(overwrite) would race the other's probe.
+    * pid separates processes (bench + verify); the session identity hash
+    * separates sessions inside one JVM (parallel suites share the pid and,
+    * when neither sets spark.sql.warehouse.dir, the default warehouse);
+    * the dataset hash separates one session's concurrent runs over two
+    * inputs. Sequential re-evaluations reuse (and overwrite) the same dir,
+    * so reps don't accumulate scratch copies.
     */
-  private lazy val indexNonce: Long = java.lang.ProcessHandle.current().pid()
+  private def scratchIndexPath(s: SparkSession, d: String, prefix: String): String = {
+    val pid = java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid())
+    val ses = Integer.toHexString(System.identityHashCode(s))
+    val ds = Integer.toHexString(d.hashCode)
+    new java.io.File(
+      new java.io.File(new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath),
+      s"$prefix-$pid-$ses-$ds"
+    ).getAbsolutePath
+  }
 
   private[graft] def goldenDir: String =
     sys.env.getOrElse("GRAFT_GOLDEN_DIR",

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.types.{LongType, StructField}
-import org.apache.spark.storage.StorageLevel
 
 /** Positional zip-join (J8) — the reference row-aligns frames purely by file
   * order: `similarity vector cbind id_pairs` (MT_Kruskal.R:32-42,
@@ -14,7 +13,7 @@ import org.apache.spark.storage.StorageLevel
   * the sides are inner-equi-joined on that index (shorter side truncates,
   * like R's cbind recycling disabled).
   *
-  * Scale shape: per side, one range-partitioned total sort (persisted so the
+  * Scale shape: per side, one range-partitioned total sort (checkpointed so the
   * count pass and the index pass see identical partition boundaries), one
   * tiny per-partition count job (P longs to the driver), and a typed
   * `mapPartitions` that adds each partition's running offset — the standard
@@ -30,10 +29,19 @@ import org.apache.spark.storage.StorageLevel
 object Align {
 
   /** Attach a dense 0-based `indexCol` to `df` under the total order given
-    * by `order`. The sorted frame is persisted (memory-and-disk) so the
+    * by `order`. The sorted frame is locally checkpointed (eager) so the
     * per-partition count pass and the offset-adding pass are guaranteed the
     * same range-partition boundaries — recomputing the sort in two separate
-    * actions would re-sample the range partitioner.
+    * actions would re-sample the range partitioner. A localCheckpoint
+    * instead of persist(): checkpoint blocks are reference-tracked and
+    * GC-cleaned when the returned frame is dropped, while an unpersisted
+    * cache entry would pin both sides' sorted copies in the CacheManager
+    * for the session's lifetime (one leak per zipJoin call). Tradeoff:
+    * localCheckpoint truncates lineage, so on a multi-executor cluster a
+    * lost executor fails the job instead of recomputing — acceptable here
+    * because the operator is a correctness bridge for reference parity, not
+    * a 100 TB path (SURVEY §2.3 J8); callers needing executor-loss
+    * resilience should set a reliable checkpoint dir and use checkpoint().
     *
     * Partition identity travels IN THE DATA: `spark_partition_id()` is baked
     * into the cached rows at cache build (when the stage partitioning is the
@@ -50,12 +58,12 @@ object Align {
     val pidCol = "__graft_zip_pid"
     val sorted = df.orderBy(order: _*)
       .withColumn(pidCol, spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager: pins rows AND partition boundaries now
     val pidIdx = sorted.schema.fieldIndex(pidCol)
     val outSchema = org.apache.spark.sql.types.StructType(
       sorted.schema.filterNot(_.name == pidCol))
       .add(StructField(indexCol, LongType, nullable = false))
-    // tiny job: (pid, rows) per partition — this materializes the cache, so
+    // tiny job: (pid, rows) per partition over the checkpointed blocks, so
     // the pid values are pinned under the sort's own partitioning
     val counts = sorted.groupBy(col(pidCol)).agg(count(org.apache.spark.sql.functions.lit(1)))
       .as[(Int, Long)](Encoders.product[(Int, Long)])

@@ -141,6 +141,40 @@ object IncrementalDedup {
     }
   }
 
+  /** Pair-store ingest-stamp high-water, persisted beside the store
+    * (`<pairStore>__seq`, one long). The stamp written with each batch's
+    * pairs is `max(batchSeq, highWater + 1)`, so ingest_seq stays strictly
+    * monotone over the STORE's lifetime even when the caller's sequence
+    * domain restarts — a checkpoint switch (toggling `assembleIdleGapSec`
+    * re-keys the checkpoint and batchId restarts at 0) or mixing the
+    * wall-clock default with later batchId-stamped runs would otherwise
+    * stamp genuinely NEW pairs below [[refreshClusters]]' `seen` high-water
+    * and exclude them from every incremental refresh forever. Crash between
+    * the pair append and the high-water write re-uses a stamp on retry; the
+    * sig-store anti-join makes the retry a no-op (or a harmless duplicate
+    * edge — CC-idempotent), and a refresh always folds the stamp's pairs.
+    */
+  private[graft] def seqHighWater(spark: SparkSession, stores: Stores): Long = {
+    val p = new org.apache.hadoop.fs.Path(stores.pairStore + "__seq")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong finally in.close()
+    }
+  }
+
+  private def writeSeqHighWater(spark: SparkSession, stores: Stores, v: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stores.pairStore + "__seq")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // write-then-rename: a crash mid-write must not leave a truncated file
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"cannot move seq high-water into place: $tmp -> $p")
+  }
+
   /** All bucket entries of a signature frame, tagged by pass. */
   private def bucketEntries(sigs: DataFrame, cfg: Dedup.Config): DataFrame = {
     val l = Dedup.lshBuckets(sigs, cfg).select(lit("lsh").as("pass"), $"bucket", $"id", $"payload")
@@ -162,10 +196,13 @@ object IncrementalDedup {
       .withColumn("shard", pmod(xxhash64($"pass", $"bucket"), lit(nShards)))
 
   /** Process one micro-batch of transcript rows. Returns (newConvs, newPairs).
-    * `batchSeq` is a monotone ingest stamp written with the batch's pairs so
-    * [[refreshClusters]] can identify "pairs since the last refresh" — ties
-    * are harmless (duplicate edges are CC-idempotent), only monotonicity
-    * across sequential batches matters.
+    * `batchSeq` seeds the ingest stamp written with the batch's pairs so
+    * [[refreshClusters]] can identify "pairs since the last refresh"; the
+    * store clamps the actual stamp to `max(batchSeq, highWater + 1)` (see
+    * [[seqHighWater]]), so the caller's sequence does NOT have to be
+    * globally monotone — checkpoint resets, topology switches, and mixed
+    * wall-clock/batchId domains all stay safe. Ties are harmless (duplicate
+    * edges are CC-idempotent).
     */
   def processBatch(
       spark: SparkSession,
@@ -270,9 +307,18 @@ object IncrementalDedup {
 
     // skip the write when the batch found no pairs: an all-empty-partition
     // write can leave a data-file-less directory that breaks the next read,
-    // and the high-water mark only needs to advance when edges were added
-    if (nPairs > 0)
-      pairs.withColumn("ingest_seq", lit(batchSeq)).write.mode("append").parquet(stores.pairStore)
+    // and the high-water mark only needs to advance when edges were added.
+    // The stamp is clamped above the store's persisted high-water (see
+    // seqHighWater) so a restarting caller sequence can never mark new
+    // pairs as already-refreshed.
+    if (nPairs > 0) {
+      val stamp = seqHighWater(spark, stores) match {
+        case Long.MinValue => batchSeq
+        case hw            => math.max(batchSeq, hw + 1)
+      }
+      pairs.withColumn("ingest_seq", lit(stamp)).write.mode("append").parquet(stores.pairStore)
+      writeSeqHighWater(spark, stores, stamp)
+    }
     newB.write.partitionBy("shard").mode("append").parquet(stores.bucketStore)
     newSigs.select(sigCols: _*)
       .withColumn("sshard", pmod(xxhash64($"conv_id"), lit(stores.sigShards)))
@@ -325,9 +371,11 @@ object IncrementalDedup {
         if (assembleIdleGapSec.isDefined) s"${stores.pairStore}_ckpt_assembled"
         else s"${stores.pairStore}_ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batchId as the ingest stamp: stable across foreachBatch RETRIES
-        // (a wall-clock stamp would re-mark replayed pairs as new), monotone
-        // across batches — exactly what refreshClusters' high-water needs
+        // batchId as the ingest-stamp SEED: monotone within one checkpoint;
+        // across a checkpoint/topology switch it restarts at 0, which the
+        // store's persisted high-water clamp absorbs (processBatch stamps
+        // max(batchId, highWater + 1) — new pairs can never land below a
+        // refreshClusters high-water already handed to a caller)
         val (n, p) = processBatch(spark, batch, stores, cfg, batchSeq = batchId)
         println(s"[stream] batch $batchId: $n convs, $p new pairs")
       }

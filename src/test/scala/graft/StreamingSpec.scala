@@ -360,6 +360,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(newPairs < allPairs)
   }
 
+  test("ingest-stamp clamp: a restarted batch sequence cannot hide new pairs from a refresh") {
+    // regression: toggling the assembly stage switches to a fresh streaming
+    // checkpoint whose batchId restarts at 0 (and the processBatch default
+    // is wall-clock ~1.7e12) — before the persisted high-water clamp, pairs
+    // stamped in the restarted domain landed BELOW a refresh high-water
+    // already handed out and were excluded from every incremental refresh
+    // forever (only a full re-cluster would find them)
+    import spark.implicits._
+    val scfg = Synth.Config(nClusters = 100, boilerClusters = 1, boilerSize = 6)
+    val cfg = Dedup.Config()
+    val transcripts = Synth.transcripts(spark, scfg).toDF
+      .withColumn("part", pmod(xxhash64(col("conv_id")), lit(2)))
+      .cache()
+    val tmp = Files.createTempDirectory("graft-seqclamp").toString
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+
+    // first run stamps in a HIGH domain (a long-lived checkpoint's batchIds
+    // or the wall-clock default)
+    IncrementalDedup.processBatch(
+      spark, transcripts.where(col("part") === 0).drop("part"), stores, cfg, batchSeq = 1000L)
+    val (labels0, seen0) = IncrementalDedup.refreshClusters(spark, stores, None)
+    assert(seen0 >= 1000L)
+
+    // second run arrives in a RESTARTED domain (fresh checkpoint: batchId 0)
+    val (_, p1) = IncrementalDedup.processBatch(
+      spark, transcripts.where(col("part") === 1).drop("part"), stores, cfg, batchSeq = 0L)
+    assert(p1 > 0, "the planted corpus must produce cross-batch pairs")
+    assert(spark.read.parquet(stores.pairStore).agg(max(col("ingest_seq")))
+      .first().getLong(0) > seen0,
+      "the clamp must stamp restarted-domain pairs above the store's high-water")
+
+    val (incr, _) = IncrementalDedup.refreshClusters(spark, stores, Some((labels0.cache(), seen0)))
+    val full = IncrementalDedup.clusterNow(spark, stores)
+    val diff = incr.exceptAll(full).count() + full.exceptAll(incr).count()
+    assert(diff == 0,
+      s"refresh after a sequence restart must equal the full re-cluster ($diff rows differ)")
+  }
+
   test("re-ingesting stored conversations is a per-conv no-op (replay / backfill overlap)") {
     val scfg = Synth.Config(nClusters = 60, boilerClusters = 1, boilerSize = 6)
     val cfg = Dedup.Config()
