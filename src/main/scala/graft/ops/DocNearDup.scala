@@ -124,5 +124,11 @@ object DocNearDup {
         greatest($"id1".cast("long"), $"id2".cast("long")).as("id2"),
         bit_count($"s1".bitwiseXOR($"s2")).cast("int").as("hamming")
       )
+      // the in-stream Hamming gate filters enumerated pairs, but a CAPPED
+      // bucket's chunk-chaining hub edges bypass it by design (they preserve
+      // bucket connectivity for the CLUSTERING pipeline, which re-verifies
+      // candidates downstream); this operator's contract is the pairs
+      // themselves, so gate the hub edges here too
+      .where($"hamming" <= maxHamming)
   }
 }

@@ -53,7 +53,16 @@ object IvfIndex {
       .toDF("cell", "centroid")
       .coalesce(1) // nCells rows of metadata — one file
       .write.mode("overwrite").parquet(s"$path/centroids")
-    h.lists.write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
+    // a DEGENERATE index (all-degenerate corpus -> no centroids, empty
+    // lists) must stay save/load-round-trippable: a partitionBy write of
+    // zero rows creates no data files at all, and reading the directory
+    // back would fail schema inference — write the empty frame
+    // unpartitioned instead (one schema-bearing empty file; `cell` rides
+    // as a regular column, which load()'s cast normalizes either way)
+    if (h.lists.isEmpty)
+      h.lists.coalesce(1).write.mode("overwrite").parquet(s"$path/lists")
+    else
+      h.lists.write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
   }
 
   /** Add vectors to a SAVED index without retraining: the new rows are
@@ -69,8 +78,22 @@ object IvfIndex {
     */
   def add(spark: SparkSession, path: String, vectors: DataFrame, listCap: Int = 100000): Unit = {
     val h = load(spark, path)
-    Ann.buildLists(vectors, h.centroids, listCap)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
+    val newLists = Ann.buildLists(vectors, h.centroids, listCap)
+    // nothing to add: all rows degenerate, or the index is untrained (no
+    // centroids — the frozen-centroid contract says rebuild, not append);
+    // appending zero rows would also create no files, so skip outright
+    if (newLists.isEmpty) return
+    val lp = s"$path/lists"
+    val dir = new org.apache.hadoop.fs.Path(lp)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // an index saved with EMPTY lists holds a schema-marker file at the
+    // directory root instead of cell= partition dirs (see save); appending
+    // partitioned data beside it would mix the two layouts and break
+    // partition discovery — the first real add replaces the marker
+    val partitioned = fs.listStatus(dir)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    newLists.write.mode(if (partitioned) "append" else "overwrite")
+      .partitionBy("cell").parquet(lp)
   }
 
   def load(spark: SparkSession, path: String): Handle = {
@@ -98,7 +121,10 @@ object IvfIndex {
       pruneCells: Boolean = true
   ): DataFrame = {
     val lists =
-      if (!pruneCells) h.lists
+      // empty-centroid guard BEFORE the probe-cell computation: with no
+      // trained centroids element_at(.., min(nProbe, 0)) would throw under
+      // ANSI mode — probeIvf itself returns the empty result for this case
+      if (!pruneCells || h.centroids.isEmpty) h.lists
       else {
         val quant = Ann.quantExpr
         val kthIdx = math.min(nProbe, h.centroids.length)

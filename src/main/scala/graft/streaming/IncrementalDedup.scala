@@ -112,13 +112,33 @@ object IncrementalDedup {
   private[graft] def validateOrWriteMeta(spark: SparkSession, stores: Stores): Unit = {
     val mp = metaPath(stores)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    // write-then-rename so a crash mid-write can never leave a truncated
+    // meta file that permanently fails every later run (same atomicity
+    // pattern as the compaction swap below)
+    def writeMeta(): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(mp.toString + "__tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        s"""{"bucketShards":${stores.bucketShards},"sigShards":${stores.sigShards}}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+      if (fs.exists(mp)) fs.delete(mp, false)
+      require(fs.rename(tmp, mp), s"cannot move store meta into place: $tmp -> $mp")
+    }
     if (fs.exists(mp)) {
       val in = fs.open(mp)
       val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
       val m = """"bucketShards"\s*:\s*(\d+).*"sigShards"\s*:\s*(\d+)""".r.unanchored
       line match {
+        case m(b, s) if b.toInt == stores.bucketShards && s.toInt == stores.sigShards => ()
         case m(b, s) =>
-          require(b.toInt == stores.bucketShards && s.toInt == stores.sigShards,
+          // a meta with NO store data pins nothing: the first-ever run wrote
+          // its meta and crashed before any store write — a retry with
+          // different shard counts is a free relayout, not a corruption; the
+          // mismatch is only fatal once data exists in the pinned layout
+          if (!storeExists(spark, stores.sigStore) && !storeExists(spark, stores.bucketStore))
+            writeMeta()
+          else throw new IllegalArgumentException(
             s"store at ${stores.sigStore} was laid out with bucketShards=$b/sigShards=$s; " +
               s"this run configured ${stores.bucketShards}/${stores.sigShards} — shard counts are " +
               "part of the on-disk layout and cannot change without a rebuild")
@@ -128,51 +148,71 @@ object IncrementalDedup {
       sys.error(s"stores at ${stores.sigStore} exist without a layout meta file ($mp): " +
         "created by an incompatible (pre-sharding) version — rebuild the stores")
     } else {
-      // write-then-rename so a crash mid-write can never leave a truncated
-      // meta file that permanently fails every later run (same atomicity
-      // pattern as the compaction swap below)
-      val tmp = new org.apache.hadoop.fs.Path(mp.toString + "__tmp")
-      val out = fs.create(tmp, true)
-      try out.write(
-        s"""{"bucketShards":${stores.bucketShards},"sigShards":${stores.sigShards}}"""
-          .getBytes("UTF-8"))
-      finally out.close()
-      require(fs.rename(tmp, mp), s"cannot move store meta into place: $tmp -> $mp")
+      writeMeta()
     }
   }
 
-  /** Pair-store ingest-stamp high-water, persisted beside the store
-    * (`<pairStore>__seq`, one long). The stamp written with each batch's
-    * pairs is `max(batchSeq, highWater + 1)`, so ingest_seq stays strictly
-    * monotone over the STORE's lifetime even when the caller's sequence
-    * domain restarts — a checkpoint switch (toggling `assembleIdleGapSec`
-    * re-keys the checkpoint and batchId restarts at 0) or mixing the
-    * wall-clock default with later batchId-stamped runs would otherwise
-    * stamp genuinely NEW pairs below [[refreshClusters]]' `seen` high-water
-    * and exclude them from every incremental refresh forever. Crash between
-    * the pair append and the high-water write re-uses a stamp on retry; the
-    * sig-store anti-join makes the retry a no-op (or a harmless duplicate
-    * edge — CC-idempotent), and a refresh always folds the stamp's pairs.
+  /** Pair-store ingest-stamp high-water, persisted beside the store. The
+    * stamp written with each batch's pairs is `max(batchSeq, highWater + 1)`,
+    * so ingest_seq stays strictly monotone over the STORE's lifetime even
+    * when the caller's sequence domain restarts — a checkpoint switch
+    * (toggling `assembleIdleGapSec` re-keys the checkpoint and batchId
+    * restarts at 0) or mixing the wall-clock default with later
+    * batchId-stamped runs would otherwise stamp genuinely NEW pairs below
+    * [[refreshClusters]]' `seen` high-water and exclude them from every
+    * incremental refresh forever.
+    *
+    * Crash-safety, in both directions:
+    *   - the stamp is BURNED (persisted) before the pair append
+    *     ([[processBatch]]): a crash between burn and append merely wastes
+    *     a stamp; the reverse order would let a later, different batch
+    *     reuse a stamp that already-refreshed pairs carry — hiding its
+    *     pairs below a `seen` high-water a caller was already handed;
+    *   - persistence is a DIRECTORY of empty marker files
+    *     (`<pairStore>__seq.d/v<stamp>`, the name IS the value, reader
+    *     takes the max): file CONTENT can be truncated by a crash and a
+    *     delete-then-rename swap has a window with no file at all, but a
+    *     marker name is atomic — older markers are pruned best-effort
+    *     after the new one is durable, and leftovers only waste bytes.
+    * A legacy single-file `<pairStore>__seq` (earlier layout) is folded in
+    * as a floor and deleted only after a durable marker supersedes it.
     */
+  private def seqDir(stores: Stores) = new org.apache.hadoop.fs.Path(stores.pairStore + "__seq.d")
+  private def seqLegacy(stores: Stores) = new org.apache.hadoop.fs.Path(stores.pairStore + "__seq")
+
   private[graft] def seqHighWater(spark: SparkSession, stores: Stores): Long = {
-    val p = new org.apache.hadoop.fs.Path(stores.pairStore + "__seq")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Long.MinValue
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong finally in.close()
-    }
+    val dir = seqDir(stores)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val markerMax =
+      if (!fs.exists(dir)) Long.MinValue
+      else fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
+        case n if n.startsWith("v") => n.drop(1).toLong
+      }.foldLeft(Long.MinValue)(math.max)
+    val legacy = seqLegacy(stores)
+    val legacyVal =
+      if (!fs.exists(legacy)) Long.MinValue
+      else {
+        val in = fs.open(legacy)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong finally in.close()
+      }
+    math.max(markerMax, legacyVal)
   }
 
-  private def writeSeqHighWater(spark: SparkSession, stores: Stores, v: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(stores.pairStore + "__seq")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // write-then-rename: a crash mid-write must not leave a truncated file
-    val tmp = new org.apache.hadoop.fs.Path(p.toString + "__tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"cannot move seq high-water into place: $tmp -> $p")
+  /** Persist `v` as the new high-water (see [[seqHighWater]] for the crash
+    * contract). Marker creation is the durability point; pruning older
+    * markers and the legacy file afterwards is best-effort cleanup.
+    */
+  private[graft] def burnSeqHighWater(spark: SparkSession, stores: Stores, v: Long): Unit = {
+    val dir = seqDir(stores)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"v$v"), true).close()
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.drop(1).toLong < v) fs.delete(st.getPath, false)
+    }
+    val legacy = seqLegacy(stores)
+    if (fs.exists(legacy)) fs.delete(legacy, false)
   }
 
   /** All bucket entries of a signature frame, tagged by pass. */
@@ -310,14 +350,17 @@ object IncrementalDedup {
     // and the high-water mark only needs to advance when edges were added.
     // The stamp is clamped above the store's persisted high-water (see
     // seqHighWater) so a restarting caller sequence can never mark new
-    // pairs as already-refreshed.
+    // pairs as already-refreshed — and it is BURNED before the append: a
+    // crash between burn and append wastes a stamp harmlessly, while the
+    // reverse order would let the next batch reuse a stamp whose pairs a
+    // refresh already folded, hiding the new pairs from every refresh.
     if (nPairs > 0) {
       val stamp = seqHighWater(spark, stores) match {
         case Long.MinValue => batchSeq
         case hw            => math.max(batchSeq, hw + 1)
       }
+      burnSeqHighWater(spark, stores, stamp)
       pairs.withColumn("ingest_seq", lit(stamp)).write.mode("append").parquet(stores.pairStore)
-      writeSeqHighWater(spark, stores, stamp)
     }
     newB.write.partitionBy("shard").mode("append").parquet(stores.bucketStore)
     newSigs.select(sigCols: _*)

@@ -175,6 +175,51 @@ class OpsSpec extends AnyFunSuite {
       s"expected cell partition filter on the appended layout:\n${plan.take(2000)}")
   }
 
+  test("IvfIndex: an all-degenerate corpus round-trips save/load/probe/add as empty, not a crash") {
+    import graft.ops.IvfIndex
+    import spark.implicits._
+    // every row fails the finiteVecs gate -> no trainable dimension -> an
+    // UNTRAINED index; it must still be persistable (the empty lists frame
+    // is written unpartitioned — a zero-row partitionBy write creates no
+    // data files and the read-back cannot infer a schema) and probe/add
+    // must return/append nothing instead of throwing
+    val bad = Seq(
+      ("b0", null.asInstanceOf[Seq[Double]]),
+      ("b1", Seq(Double.NaN, 1.0)),
+      ("b2", Seq(Double.PositiveInfinity, 0.0))
+    ).toDF("id", "vec")
+    val h = IvfIndex.build(bad, nCells = 4)
+    assert(h.centroids.isEmpty)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-degen").toString + "/idx"
+    IvfIndex.save(spark, h, path)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.centroids.isEmpty)
+    val probes = mkVecs(8, 16, 7L).toDF("id", "vec")
+    assert(IvfIndex.topK(probes, loaded, k = 3, nProbe = 2).count() == 0)
+    // add() against an untrained quantizer indexes nothing (frozen-centroid
+    // contract: distribution drift means rebuild, not append)
+    IvfIndex.add(spark, path, mkVecs(8, 16, 7L).toDF("id", "vec"))
+    assert(IvfIndex.topK(probes, IvfIndex.load(spark, path), k = 3, nProbe = 2).count() == 0)
+
+    // trained centroids + an EMPTY first installment: the schema-marker
+    // layout must upgrade to the partitioned layout on the first real add
+    // (appending cell= dirs beside the root marker file would mix layouts
+    // and break partition discovery)
+    val corpus = mkVecs(60, 16, 9L).toDF("id", "vec").cache()
+    val centroids = Ann.trainCentroids(corpus, nCells = 4)
+    val path2 = java.nio.file.Files.createTempDirectory("graft-ivf-degen2").toString + "/idx"
+    IvfIndex.save(spark, IvfIndex.Handle(centroids, Ann.buildLists(corpus.limit(0), centroids)), path2)
+    assert(IvfIndex.topK(probes, IvfIndex.load(spark, path2), k = 3, nProbe = 2).count() == 0)
+    IvfIndex.add(spark, path2, corpus)
+    val mono = IvfIndex.topK(probes, IvfIndex.Handle(centroids, Ann.buildLists(corpus, centroids)),
+      k = 3, nProbe = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = IvfIndex.topK(probes, IvfIndex.load(spark, path2), k = 3, nProbe = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == mono, s"marker-upgraded index must probe like a monolithic build; " +
+      s"diff=${(mono -- got).take(3)} | ${(got -- mono).take(3)}")
+  }
+
   test("embedding near-dup pairs finds planted duplicates") {
     val base = mkVecs(100, 16, 13L)
     val dups = base.take(10).map { case (id, v) => (id + "_d", v.map(x => x + 0.005f)) }

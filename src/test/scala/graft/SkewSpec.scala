@@ -80,4 +80,47 @@ class SkewSpec extends AnyFunSuite {
       s"oversized=${m.oversizedBuckets.value} dropped=${m.droppedPairs.value}")
     assert(hit >= 19, s"cap must not lose distinct planted pairs: $hit/20")
   }
+
+  test("simhash near-dup pairs: capped hot chunk buckets cannot leak hub edges past the Hamming gate") {
+    import spark.implicits._
+    import graft.functions.{text => T, SimHash64}
+    // The chunk chain's hub edges bypass the in-stream Hamming gate by
+    // design (they exist to keep a capped bucket CONNECTED for the
+    // clustering pipeline, which re-verifies candidates downstream); the
+    // standalone pair operator has no downstream verify, so it must gate
+    // them itself. Build the leak shape deliberately: two texts whose
+    // fingerprints COLLIDE on one 16-bit chunk yet differ in > 3 bits
+    // overall, with enough copies of one to trip the cap.
+    val r = new scala.util.Random(13)
+    val vocab = (0 until 500).map(i => s"t$i")
+    val cand = (0 until 1500).map { i =>
+      (i.toLong, Seq.fill(25)(vocab(r.nextInt(vocab.size))).mkString(" "))
+    }
+    val fps = cand.toDF("doc_id", "text")
+      .select($"doc_id", SimHash64(T.tokenHashes(T.tokens($"text"))).as("sh"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    def chunk(v: Long, c: Int): Long = (v >>> (c * 16)) & 0xffffL
+    val collide = (for {
+      (i1, s1) <- fps.iterator
+      (i2, s2) <- fps.iterator
+      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) > 3 &&
+        (0 until 4).exists(c => chunk(s1, c) == chunk(s2, c))
+    } yield (i1, i2)).take(1).toList
+    assert(collide.nonEmpty, "no single-chunk collision among 1500 random docs — widen the search")
+    val (xi, yi) = collide.head
+    // bucket for the colliding chunk = X + 8 copies of Y; X's id sorts
+    // first, so with cap 4 the chain's first hub edge is (X, a Y copy) —
+    // exactly the beyond-ball pair that must not reach the output
+    val docs = (Seq((0L, cand(xi.toInt)._2)) ++
+      (0 until 8).map(i => (1000L + i, cand(yi.toInt)._2))).toDF("doc_id", "text")
+    val out = graft.ops.DocNearDup
+      .simhashHammingPairs(docs, "doc_id", "text", maxHamming = 3, bucketCap = 4)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2)))
+    assert(out.forall(_._3 <= 3),
+      s"pairs beyond the Hamming ball leaked through a hub edge: ${out.filter(_._3 > 3).mkString(", ")}")
+    assert(!out.exists(p => p._1 == 0L || p._2 == 0L),
+      "X is beyond hamming 3 of every Y copy and must pair with none of them")
+    assert(out.count(p => p._1 >= 1000L && p._2 >= 1000L) > 0,
+      "the Y-copy ball itself must survive the gate")
+  }
 }

@@ -398,6 +398,76 @@ class StreamingSpec extends AnyFunSuite {
       s"refresh after a sequence restart must equal the full re-cluster ($diff rows differ)")
   }
 
+  test("a stamp burned by a crashed batch is never reused; legacy single-file high-water is a floor") {
+    // crash contract: processBatch BURNS the stamp before appending pairs, so
+    // a crash between burn and append leaves a stamp with no pairs. A later,
+    // different batch must not reuse it — refreshClusters' `seen` comes from
+    // the store's max ingest_seq, which never saw the burned stamp, so reuse
+    // would hide the new batch's pairs below an already-handed-out high-water.
+    import spark.implicits._
+    val scfg = Synth.Config(nClusters = 80, boilerClusters = 1, boilerSize = 6)
+    val cfg = Dedup.Config()
+    val transcripts = Synth.transcripts(spark, scfg).toDF
+      .withColumn("part", pmod(xxhash64(col("conv_id")), lit(2)))
+      .cache()
+    val tmp = Files.createTempDirectory("graft-seqburn").toString
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+
+    IncrementalDedup.processBatch(
+      spark, transcripts.where(col("part") === 0).drop("part"), stores, cfg, batchSeq = 5L)
+    val (labels0, seen0) = IncrementalDedup.refreshClusters(spark, stores, None)
+    assert(seen0 == 5L)
+    // simulate the crash window: a batch burned 6 and died before its append
+    IncrementalDedup.burnSeqHighWater(spark, stores, 6L)
+    assert(IncrementalDedup.seqHighWater(spark, stores) == 6L)
+
+    val (_, p1) = IncrementalDedup.processBatch(
+      spark, transcripts.where(col("part") === 1).drop("part"), stores, cfg, batchSeq = 0L)
+    assert(p1 > 0)
+    val maxSeq = spark.read.parquet(stores.pairStore).agg(max(col("ingest_seq"))).first().getLong(0)
+    assert(maxSeq == 7L, s"the burned stamp 6 must not be reused (got $maxSeq)")
+    val (incr, _) = IncrementalDedup.refreshClusters(spark, stores, Some((labels0.cache(), seen0)))
+    val full = IncrementalDedup.clusterNow(spark, stores)
+    assert(incr.exceptAll(full).count() + full.exceptAll(incr).count() == 0)
+
+    // legacy layout: a store written before the marker-directory format
+    // carries `<pairStore>__seq` as a single value file — honored as a floor
+    // and superseded (deleted) once a marker is durable
+    val tmp2 = Files.createTempDirectory("graft-seqlegacy").toString
+    val stores2 = IncrementalDedup.Stores(s"$tmp2/sigs", s"$tmp2/pairs")
+    val legacy = new org.apache.hadoop.fs.Path(s"$tmp2/pairs__seq")
+    val fs = legacy.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(legacy, true)
+    out.write("42".getBytes("UTF-8")); out.close()
+    assert(IncrementalDedup.seqHighWater(spark, stores2) == 42L)
+    IncrementalDedup.processBatch(
+      spark, transcripts.drop("part"), stores2, cfg, batchSeq = 0L)
+    assert(IncrementalDedup.seqHighWater(spark, stores2) == 43L)
+    assert(!fs.exists(legacy), "the legacy file is cleaned once a marker supersedes it")
+  }
+
+  test("a meta written before any store data does not pin the layout (first-run crash retry)") {
+    // regression: the first-ever run writes its layout meta, then crashes
+    // before any store write; a retry with different shard counts used to
+    // fail 'cannot change without a rebuild' even though both stores were
+    // empty — rebuilding a layout that holds no data is free
+    val tmp = Files.createTempDirectory("graft-metafresh").toString
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+    IncrementalDedup.validateOrWriteMeta(spark, stores) // default 64/64, no data yet
+    val relaid = stores.copy(bucketShards = 16, sigShards = 8)
+    IncrementalDedup.validateOrWriteMeta(spark, relaid) // free relayout
+    val transcripts =
+      Synth.transcripts(spark, Synth.Config(nClusters = 20, boilerClusters = 1, boilerSize = 4)).toDF
+    IncrementalDedup.processBatch(spark, transcripts, relaid, Dedup.Config())
+    // data exists in the 16/8 layout now: other counts are a real mismatch
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.validateOrWriteMeta(spark, stores)
+    }
+    assert(e.getMessage.contains("shard counts"), e.getMessage)
+    // and the pinned layout still opens fine
+    IncrementalDedup.validateOrWriteMeta(spark, relaid)
+  }
+
   test("re-ingesting stored conversations is a per-conv no-op (replay / backfill overlap)") {
     val scfg = Synth.Config(nClusters = 60, boilerClusters = 1, boilerSize = 6)
     val cfg = Dedup.Config()
