@@ -145,11 +145,14 @@ object Ann {
       .drop("bsz")
 
   /** Truncation visibility for lshTopK's probe cap: (oversized list count,
-    * total members dropped in expectation). Runs the same count aggregate the
-    * cap uses — call it when logging an index build, not per query.
+    * total members dropped in expectation). Runs the same count aggregate
+    * over the same finite-filtered corpus the cap sees (a NaN/Inf row never
+    * reaches lshTopK's buckets, so it must not inflate these stats either —
+    * all-NaN rows would otherwise pile into one phantom oversized bucket
+    * per table) — call it when logging an index build, not per query.
     */
   def capStats(corpus: DataFrame, dim: Int, nBits: Int, nTables: Int, seed: Long, bucketCap: Int): (Long, Long) = {
-    val b = corpus.select(
+    val b = finiteVecs(corpus, "vec", dim).select(
       col("id"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("table"), signBucket(col("vec"), dim, nBits, seed + t * 1000003L).as("bucket"))

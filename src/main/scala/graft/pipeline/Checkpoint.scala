@@ -244,6 +244,11 @@ object CheckpointedDedup {
     val clusters = r.stage("clusters", s"cluster|$cfgStr", Seq("pairs", "sigs"))(
       Dedup.cluster(spark, sigs, pairs, ccCheckpointDir = Some(s"$warehouse/_cc_checkpoint"))
     )
+    // the clusters stage is PERSISTED parquet at this point, so no live
+    // lineage references the CC loop's reliable checkpoints — reclaim them
+    // (they total one full edge-set copy per run and are never
+    // reference-tracked by Spark's cleaner)
+    graft.plans.ConnectedComponents.cleanCheckpoints(spark, s"$warehouse/_cc_checkpoint")
     Dedup.Result(docs, sigs, pairs, clusters)
   }
 }

@@ -66,8 +66,10 @@ object Dedup {
     * is FUSED inside ShingleHashes' single char pass — always on, map-side,
     * zero extra cost — so case/punctuation-variant near-dups cluster by
     * default (DedupPipelineSpec pins jaccard 1.0 for such variants). The
-    * substring-anchor pass stays on raw text by design (exact-substring
-    * semantics).
+    * substring-anchor pass runs over the SAME normalized text (see
+    * functions/text.scala windowAnchors and substringCandidates: exact
+    * NORMALIZED-substring semantics — case/punctuation variants of a long
+    * block still collide).
     */
   def shingle(docs: DataFrame, cfg: Config): DataFrame =
     docs.select(

@@ -54,15 +54,52 @@ object ConnectedComponents {
   ): DataFrame = {
     import spark.implicits._
 
-    if (localThreshold > 0 && edges.limit((localThreshold + 1).toInt).count() <= localThreshold) {
-      val rows = edges.select($"src".cast("string"), $"dst".cast("string"))
-        .as[(String, String)].collect()
-      return localUnionFind(spark, rows)
+    if (localThreshold > 0) {
+      // ONE probe job collects up to threshold+1 rows (limit short-circuits
+      // partition scans): if the limit comes back unsaturated we already
+      // hold the whole edge set and reuse it directly — the previous
+      // probe-count-then-collect shape executed the edges lineage twice in
+      // the local case (for refreshClusters that lineage includes the prior
+      // labeling plan end-to-end). Over-threshold graphs pay one bounded
+      // driver transfer and proceed distributed. The limit argument is
+      // clamped below Int.MaxValue: a caller-tuned threshold >= 2^31 would
+      // otherwise wrap negative (limit throws) or, between 2^31 and 2^32,
+      // truncate the probe and route an arbitrarily large graph into the
+      // driver collect — above the clamp the distributed path is the only
+      // sane answer anyway.
+      val probeLimit = (math.min(localThreshold, Int.MaxValue - 2L) + 1L).toInt
+      val probe = edges.select($"src".cast("string"), $"dst".cast("string"))
+        .as[(String, String)].limit(probeLimit).collect()
+      if (probe.length < probeLimit) return localUnionFind(spark, probe)
     }
 
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def pin(d: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) d.checkpoint(true) else d.localCheckpoint(true)
+    // reliable checkpoints are NOT reference-tracked by Spark (the
+    // cleaner's cleanCheckpoints default is off, and it never covers the
+    // non-final ones): left alone, every doubled round leaks one full edge
+    // copy into checkpointDir forever. Each round checkpoints into its own
+    // subdirectory and the PREVIOUS round's is deleted as soon as the new
+    // pin has eagerly materialized (nothing references the superseded
+    // round after that). The FINAL round's files back the returned
+    // DataFrame's lineage, so they must outlive this call — callers delete
+    // them via [[cleanCheckpoints]] once the result is persisted
+    // (CheckpointedDedup does, right after its clusters stage lands).
+    val runDir = checkpointDir.map(d => s"$d/run_${java.util.UUID.randomUUID()}")
+    var round = 0
+    var prevRoundDir: Option[String] = None
+    def pin(d: DataFrame): DataFrame = runDir match {
+      case Some(rd) =>
+        val cur = s"$rd/r$round"
+        spark.sparkContext.setCheckpointDir(cur)
+        val out = d.checkpoint(true) // eager: materialized before we return
+        prevRoundDir.foreach { old =>
+          val p = new org.apache.hadoop.fs.Path(old)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
+        prevRoundDir = Some(cur)
+        round += 1
+        out
+      case None => d.localCheckpoint(true)
+    }
 
     // canonical directed-to-smaller representation: (hi > lo)
     def canon(e: DataFrame): DataFrame = e
@@ -142,6 +179,23 @@ object ConnectedComponents {
     * of each set (matching the distributed loop's labeling exactly,
     * independent of edge order).
     */
+  /** Delete every `run_*` checkpoint tree under `dir`. Call ONLY once no
+    * DataFrame returned by [[run]] with this `checkpointDir` is still
+    * pending materialization — the final round's files back the result's
+    * lineage (see the per-round cleanup note in [[run]]); after the result
+    * is persisted (e.g. the checkpointed runner's clusters stage) they are
+    * dead weight at one full edge-set copy per historical run.
+    */
+  def cleanCheckpoints(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("run_"))
+          fs.delete(st.getPath, true)
+      }
+  }
+
   private def localUnionFind(spark: SparkSession, edges: Array[(String, String)]): DataFrame = {
     import spark.implicits._
     // self-loops are dropped exactly like the distributed canon() — a node

@@ -53,6 +53,16 @@ object IncrementalDedup {
     def bucketStore: String = s"${sigStore}_buckets"
   }
 
+  /** Row-count guard on the key sets processBatch force-broadcasts in the
+    * trickle regime: a bulk/backfill micro-batch can carry tens of millions
+    * of bucket keys / candidate ids, and an unconditional broadcast() of
+    * those would OOM the driver or trip Spark's 8 GB broadcast hard limit.
+    * Above the cap the semi joins fall back to shuffles — the correct plan
+    * at that size (4M keys x ~40 B ≈ 160 MB is the most a forced broadcast
+    * should ever pin per executor).
+    */
+  private[graft] val BroadcastKeyCap = 4L * 1000 * 1000
+
   /** Read a shard-partitioned store pruned to the given shard set: the
     * literal IN on the partition column is directory-level pruning, so scan
     * IO is O(shards the batch's keys hash into), not O(accumulated store).
@@ -112,9 +122,11 @@ object IncrementalDedup {
   private[graft] def validateOrWriteMeta(spark: SparkSession, stores: Stores): Unit = {
     val mp = metaPath(stores)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
-    // write-then-rename so a crash mid-write can never leave a truncated
-    // meta file that permanently fails every later run (same atomicity
-    // pattern as the compaction swap below)
+    // write-then-atomic-replace so a crash mid-write can never leave a
+    // truncated meta file — FileContext.rename(OVERWRITE) is the same
+    // atomic-replace primitive TableIO.writeManifest uses (FileSystem
+    // rename has no overwrite mode, and a hand-rolled delete-then-rename
+    // has a crash window with no meta file at all)
     def writeMeta(): Unit = {
       val tmp = new org.apache.hadoop.fs.Path(mp.toString + "__tmp")
       val out = fs.create(tmp, true)
@@ -122,8 +134,9 @@ object IncrementalDedup {
         s"""{"bucketShards":${stores.bucketShards},"sigShards":${stores.sigShards}}"""
           .getBytes("UTF-8"))
       finally out.close()
-      if (fs.exists(mp)) fs.delete(mp, false)
-      require(fs.rename(tmp, mp), s"cannot move store meta into place: $tmp -> $mp")
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(mp.toUri, spark.sessionState.newHadoopConf())
+        .rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     if (fs.exists(mp)) {
       val in = fs.open(mp)
@@ -215,6 +228,72 @@ object IncrementalDedup {
     if (fs.exists(legacy)) fs.delete(legacy, false)
   }
 
+  /** Per-batch cap visibility — the incremental analogue of the batch
+    * pipeline's "no silent caps" contract (SURVEY §4): `newNew` carries the
+    * chunk-cap accumulators through [[Dedup.candidates]] for the new x new
+    * generator (rides the batch's own tasks, zero extra cost), and the
+    * old-side hot-bucket thinning reports through the two old*
+    * accumulators (one small aggregate over the cached narrowed store
+    * read — the only extra job, paid only when metrics are requested).
+    * `oldThinnedMembers` counts store rows the thinning removes in
+    * expectation; each represents up to one lost new x old candidate per
+    * matching new id in that bucket.
+    */
+  final case class BatchSkew(
+      newNew: Dedup.SkewMetrics,
+      oldOversizedBuckets: org.apache.spark.util.LongAccumulator,
+      oldThinnedMembers: org.apache.spark.util.LongAccumulator
+  )
+
+  def batchSkew(spark: SparkSession): BatchSkew = BatchSkew(
+    Dedup.skewMetrics(spark, "inc.newnew"),
+    spark.sparkContext.longAccumulator("graft.inc.old.oversized_buckets"),
+    spark.sparkContext.longAccumulator("graft.inc.old.thinned_members")
+  )
+
+  /** Bucket-append intent markers (`<bucketStore>__intent/`): created
+    * before a batch's bucket append, deleted only after its sig append
+    * commits — so a surviving marker means exactly "the bucket store may
+    * hold rows for conversations the sig store never recorded" (a crash
+    * landed between the two appends). Those orphan rows are the replay
+    * hazard: the batch's re-run still sees its convs as new (the sig-store
+    * anti-join gate) and would append a SECOND copy of bucket entries the
+    * first attempt already wrote — duplicates the compaction's plain
+    * rewrite never removes, which double-count the hot-bucket window and
+    * silently hash-thin genuine members out of candidate generation.
+    *
+    * Recovery is state-keyed, not batch-keyed: when a marker is present at
+    * batch start, [[sweepOrphanBucketRows]] rewrites the bucket store
+    * keeping only rows whose conv exists in the sig store (compact's
+    * atomic aside-rename swap), then clears the markers — any replay,
+    * under ANY batching (including a checkpoint-topology switch that
+    * regroups the input into different batches), now appends each
+    * surviving conv's entries exactly once. Steady-state cost is two
+    * filesystem ops per batch; the full-store rewrite is paid only on
+    * crash recovery.
+    */
+  private[graft] def intentDir(stores: Stores) =
+    new org.apache.hadoop.fs.Path(stores.bucketStore + "__intent")
+
+  private[graft] def intentPending(spark: SparkSession, stores: Stores): Boolean = {
+    val d = intentDir(stores)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(d) && fs.listStatus(d).nonEmpty
+  }
+
+  private[graft] def burnIntent(spark: SparkSession, stores: Stores, batchSeq: Long): Unit = {
+    val d = intentDir(stores)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(d)
+    fs.create(new org.apache.hadoop.fs.Path(d, s"b$batchSeq"), true).close()
+  }
+
+  private[graft] def clearIntent(spark: SparkSession, stores: Stores): Unit = {
+    val d = intentDir(stores)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(d)) fs.listStatus(d).foreach(st => fs.delete(st.getPath, false))
+  }
+
   /** All bucket entries of a signature frame, tagged by pass. */
   private def bucketEntries(sigs: DataFrame, cfg: Dedup.Config): DataFrame = {
     val l = Dedup.lshBuckets(sigs, cfg).select(lit("lsh").as("pass"), $"bucket", $"id", $"payload")
@@ -249,13 +328,19 @@ object IncrementalDedup {
       batch: DataFrame,
       stores: Stores,
       cfg: Dedup.Config,
-      batchSeq: Long = System.currentTimeMillis()
+      batchSeq: Long = System.currentTimeMillis(),
+      skew: Option[BatchSkew] = None
   ): (Long, Long) = {
     // an upstream assembly stage can hold EVERY turn back while watermarks
     // catch up: appending row-less frames would leave schema-less store
     // directories (only _SUCCESS) that break the next batch's read
     if (batch.isEmpty) return (0L, 0L)
     validateOrWriteMeta(spark, stores)
+    // a surviving intent marker means an earlier attempt died between its
+    // bucket and sig appends — sweep its orphan bucket rows BEFORE reading
+    // the stores, so this batch's candidate generation and its own appends
+    // both see a consistent store (see intentDir for the full contract)
+    if (intentPending(spark, stores)) sweepOrphanBucketRows(spark, stores)
     // cached: the idempotence branch below reads it twice (shard-set
     // collect + anti-join into signatures) — uncached, the assemble
     // groupBy shuffle would run twice per batch
@@ -284,25 +369,53 @@ object IncrementalDedup {
     if (nNew == 0) { newSigs.unpersist(); return (0L, 0L) } // batch already ingested
 
     // (a) new x new — the batch generator over just this batch's signatures
-    // (identical chunk-cap semantics to the batch pipeline, one shuffle)
-    var cands = Dedup.candidates(newSigs, cfg)
+    // (identical chunk-cap semantics to the batch pipeline, one shuffle);
+    // the chunk-cap accumulators ride the same tasks when metrics are on
+    var cands = Dedup.candidates(newSigs, cfg, skew.map(_.newNew))
 
     // (b) new x old — join new bucket entries against the persisted store;
     // old side of oversized buckets hash-thinned to bucketCap
     val newB = bucketEntriesWithShard(newSigs, cfg, stores.bucketShards).cache()
+    val nNewB = newB.count() // materializes the cache; also the broadcast-size bound
     val haveOld = storeExists(spark, stores.bucketStore)
+    var oldCache: Option[DataFrame] = None
     if (haveOld) {
       // two-level narrowing: the store READ is pruned to the shard
       // directories the batch's bucket keys hash into (scan IO), then
-      // SEMI-JOINED down to the exact bucket keys (a small broadcast set) so
-      // the hot-bucket size count and the candidate join aggregate/shuffle
-      // only matching store rows — per-batch shuffle tracks the batch, not
-      // the accumulated corpus (StreamingSpec asserts both levels)
+      // SEMI-JOINED down to the exact bucket keys so the hot-bucket size
+      // count and the candidate join aggregate/shuffle only matching store
+      // rows — per-batch shuffle tracks the batch, not the accumulated
+      // corpus (StreamingSpec asserts both levels)
       val batchShards = newB.select($"shard").distinct().collect().map(_.getLong(0)).toSeq
       val batchBuckets = newB.select($"pass", $"bucket").distinct()
-      val old = prunedRead(spark, stores.bucketStore, "shard", batchShards, stores.bucketShards)
+      // broadcast the key set only when the TRICKLE regime guarantees it
+      // small (nNewB bounds the distinct bucket-key count from above): a
+      // bulk/backfill micro-batch can carry tens of millions of keys, and a
+      // forced broadcast of those would OOM the driver or trip the 8 GB
+      // broadcast hard limit — at that size the shuffled semi-join is the
+      // right plan and AQE keeps the option to demote it back
+      val bucketKeys =
+        if (nNewB <= BroadcastKeyCap) broadcast(batchBuckets) else batchBuckets
+      val old0 = prunedRead(spark, stores.bucketStore, "shard", batchShards, stores.bucketShards)
         .drop("shard")
-        .join(broadcast(batchBuckets), Seq("pass", "bucket"), "left_semi")
+        .join(bucketKeys, Seq("pass", "bucket"), "left_semi")
+      // "no silent caps" for the old side: with metrics on, the narrowed
+      // read is cached and ONE extra aggregate reports oversized buckets
+      // and the members the cap drops in expectation (pmod thinning keeps
+      // cap of bsz uniformly — same expectation semantics as Ann.capStats).
+      // NOT Dataset.observe: a CollectMetrics readback deadlocks inside
+      // foreachBatch — the listener only fires for top-level executions,
+      // and a micro-batch's nested actions never are.
+      val old = if (skew.isDefined) old0.cache() else old0
+      oldCache = if (skew.isDefined) Some(old) else None
+      for (sk <- skew) {
+        val st = old.groupBy($"pass", $"bucket").agg(count(lit(1)).as("bsz"))
+          .where($"bsz" > cfg.bucketCap)
+          .agg(count(lit(1)), coalesce(sum($"bsz" - cfg.bucketCap), lit(0L)))
+          .first()
+        sk.oldOversizedBuckets.add(st.getLong(0))
+        sk.oldThinnedMembers.add(st.getLong(1))
+      }
       // hot-bucket thinning via a WINDOW count over the already-narrowed
       // rows: a self-join against a groupBy aggregate would scan the store a
       // second time — the window is one tiny keyed shuffle of matching rows
@@ -324,22 +437,27 @@ object IncrementalDedup {
     // exact verification: the candidate id set is small (bounded by this
     // batch's bucket matches), so the signature store is SEMI-JOINED down to
     // candidate endpoints before the verify joins — per-batch verify work is
-    // O(candidates), not O(accumulated corpus); the semi join broadcasts the
-    // candidate ids, so the growing store is scanned but never re-shuffled
-    // (cands is cached: it feeds both the id set and the verify join)
+    // O(candidates), not O(accumulated corpus); in the trickle regime the
+    // semi join broadcasts the candidate ids, so the growing store is
+    // scanned but never re-shuffled (cands is cached: it feeds both the id
+    // set and the verify join)
     val candKeys = cands.select($"id1", $"id2").cache()
+    val nCandKeys = candKeys.count() // materializes the cache; bounds the id-set size
     val candIds = candKeys.select($"id1".as("conv_id")).union(candKeys.select($"id2".as("conv_id")))
       .distinct()
     val sigCols = Seq($"conv_id", $"shingles", $"sig", $"simhash")
     val oldSigs =
       if (storeExists(spark, stores.sigStore)) {
         // same two-level narrowing as the bucket store: prune the READ to
-        // the candidate ids' shard directories, then semi-join the exact ids
+        // the candidate ids' shard directories, then semi-join the exact
+        // ids — broadcast only under the same size guard as the bucket-key
+        // set (2 * candKeys bounds the distinct-id count from above)
         val candShards = candIds
           .select(pmod(xxhash64($"conv_id"), lit(stores.sigShards)).as("s"))
           .distinct().collect().map(_.getLong(0)).toSeq
+        val idKeys = if (2 * nCandKeys <= BroadcastKeyCap) broadcast(candIds) else candIds
         prunedRead(spark, stores.sigStore, "sshard", candShards, stores.sigShards)
-          .join(broadcast(candIds), Seq("conv_id"), "left_semi")
+          .join(idKeys, Seq("conv_id"), "left_semi")
       } else newSigs.select(sigCols: _*).limit(0)
     val all = oldSigs.select(sigCols: _*).union(newSigs.select(sigCols: _*))
     val pairs = Dedup.verify(candKeys, all, cfg).cache()
@@ -362,10 +480,16 @@ object IncrementalDedup {
       burnSeqHighWater(spark, stores, stamp)
       pairs.withColumn("ingest_seq", lit(stamp)).write.mode("append").parquet(stores.pairStore)
     }
+    // intent marker brackets the two store appends (see intentDir): burned
+    // before the bucket append, cleared only after the sig append commits —
+    // a crash in between leaves the marker for the next run's orphan sweep
+    burnIntent(spark, stores, batchSeq)
     newB.write.partitionBy("shard").mode("append").parquet(stores.bucketStore)
     newSigs.select(sigCols: _*)
       .withColumn("sshard", pmod(xxhash64($"conv_id"), lit(stores.sigShards)))
       .write.partitionBy("sshard").mode("append").parquet(stores.sigStore)
+    clearIntent(spark, stores)
+    oldCache.foreach(_.unpersist())
     newSigs.unpersist()
     newB.unpersist()
     candKeys.unpersist()
@@ -419,8 +543,15 @@ object IncrementalDedup {
         // store's persisted high-water clamp absorbs (processBatch stamps
         // max(batchId, highWater + 1) — new pairs can never land below a
         // refreshClusters high-water already handed to a caller)
-        val (n, p) = processBatch(spark, batch, stores, cfg, batchSeq = batchId)
-        println(s"[stream] batch $batchId: $n convs, $p new pairs")
+        val sk = batchSkew(spark)
+        val (n, p) = processBatch(spark, batch, stores, cfg, batchSeq = batchId, skew = Some(sk))
+        // "no silent caps": per-batch drop accounting, same contract as the
+        // batch pipeline's skew log (accumulators are fresh per batch)
+        println(s"[stream] batch $batchId: $n convs, $p new pairs" +
+          s", capped buckets new=${sk.newNew.oversizedBuckets.value}" +
+          s" old=${sk.oldOversizedBuckets.value}" +
+          s", dropped newXnew pairs=${sk.newNew.droppedPairs.value}" +
+          s", thinned old members=${sk.oldThinnedMembers.value}")
       }
       .start()
     q.awaitTermination()
@@ -486,7 +617,8 @@ object IncrementalDedup {
     * committer's contract). Must run between batches — no concurrent writer.
     */
   private def compact(
-      spark: SparkSession, path: String, partCol: Option[String], n: Int): Unit = {
+      spark: SparkSession, path: String, partCol: Option[String], n: Int,
+      transform: DataFrame => DataFrame = identity): Unit = {
     // storeExists FIRST: it also recovers a compaction that crashed between
     // the two renames below (restoring <path>__compact_old to <path>), so
     // the aside deletion here can only ever remove a STALE copy left by a
@@ -498,7 +630,12 @@ object IncrementalDedup {
     val aside = new org.apache.hadoop.fs.Path(path + "__compact_old")
     fs.delete(tmp, true)
     fs.delete(aside, true)
-    val df = spark.read.parquet(path)
+    val df = transform(spark.read.parquet(path))
+    // a transform can filter the store to nothing (the orphan sweep over a
+    // store whose every conv was orphaned): writing zero rows would leave a
+    // data-file-less directory that breaks the next read — absent IS the
+    // legal empty-store state (every reader guards via storeExists)
+    if (df.isEmpty) { fs.delete(p, true); return }
     partCol match {
       // hash-repartition ON the partition column: every shard lands in
       // exactly one task, so each directory comes out as one file
@@ -508,6 +645,30 @@ object IncrementalDedup {
     require(fs.rename(p, aside), s"compact: cannot move $path aside")
     require(fs.rename(tmp, p), s"compact: cannot swap in compacted $path")
     fs.delete(aside, true)
+  }
+
+  /** Crash recovery for a surviving bucket-append intent marker (see
+    * [[intentDir]]): drop every bucket row whose conversation the sig store
+    * never recorded — the partial writes of a batch that died between its
+    * two store appends. Afterwards any replay appends each surviving conv's
+    * entries exactly once, regardless of how the replay re-batches the
+    * input. The rewrite rides [[compact]]'s atomic swap, so a crash DURING
+    * recovery is itself recoverable (markers are cleared only at the end).
+    */
+  private[graft] def sweepOrphanBucketRows(spark: SparkSession, stores: Stores): Unit = {
+    if (storeExists(spark, stores.bucketStore)) {
+      if (!storeExists(spark, stores.sigStore)) {
+        // no sig store: every bucket row is an orphan (first-ever batch
+        // crashed between appends) — the store reverts to absent
+        val p = new org.apache.hadoop.fs.Path(stores.bucketStore)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      } else {
+        val sigIds = spark.read.parquet(stores.sigStore).select($"conv_id".as("id"))
+        compact(spark, stores.bucketStore, Some("shard"), stores.bucketShards,
+          _.join(sigIds, Seq("id"), "left_semi"))
+      }
+    }
+    clearIntent(spark, stores)
   }
 
   /** Compact all three stores (see [[compact]]); call periodically from the

@@ -125,5 +125,38 @@ class CheckpointSpec extends AnyFunSuite {
     assert(local == reliable, "reliable checkpointing must not change the labeling")
     val written = new java.io.File(ckpt).listFiles()
     assert(written != null && written.nonEmpty, "reliable mode must write checkpoint files")
+    // per-round cleanup: only the FINAL round's checkpoint may remain per
+    // run (each round deletes its predecessor once the new pin
+    // materializes) — without it the loop leaks one full edge copy per
+    // round per run, forever
+    val runDirs = written.filter(f => f.isDirectory && f.getName.startsWith("run_"))
+    assert(runDirs.nonEmpty, "per-run checkpoint subdirectory expected")
+    runDirs.foreach { rd =>
+      val rounds = rd.listFiles().filter(_.isDirectory)
+      assert(rounds.length <= 1,
+        s"at most the final round's checkpoint may survive, found ${rounds.length} in $rd")
+    }
+    // caller-side reclamation once the result is persisted (the
+    // checkpointed runner does this after its clusters stage)
+    ConnectedComponents.cleanCheckpoints(spark, ckpt)
+    val after = new java.io.File(ckpt).listFiles()
+    assert(after == null || !after.exists(_.getName.startsWith("run_")),
+      "cleanCheckpoints must remove every run_* tree")
+  }
+
+  test("CC local-path probe survives thresholds at and beyond Int.MaxValue") {
+    import graft.plans.ConnectedComponents
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    // pre-fix: (threshold + 1).toInt wrapped negative (limit throws) or
+    // truncated the probe and routed arbitrarily large graphs into the
+    // driver collect; the clamp must keep tiny graphs on the local path
+    // and stay total for any threshold
+    for (t <- Seq(Int.MaxValue.toLong, Int.MaxValue + 10L, Long.MaxValue)) {
+      val labels = ConnectedComponents.run(spark, edges, localThreshold = t)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(labels("a") == labels("c") && labels("x") == labels("y") &&
+        labels("a") != labels("x"), s"wrong labeling at threshold $t")
+    }
   }
 }

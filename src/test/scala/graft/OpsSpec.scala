@@ -102,6 +102,21 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.3f")
   }
 
+  test("capStats counts only buckets the cap actually sees (NaN rows excluded)") {
+    // lshTopK's finite-vector gate drops NaN/Inf rows before bucketing, so
+    // they never populate an inverted list — but every all-NaN row hashes
+    // to the same bucket per table (s >= 0 is false for every bit), and a
+    // capStats over the RAW corpus would report nTables phantom oversized
+    // lists that the cap never truncated
+    val finite = mkVecs(10, 8, 7L)
+    val bad = (0 until 40).map(i => (s"nan$i", Seq.fill(8)(Float.NaN)))
+    val corpus = (finite ++ bad).toDF("id", "vec")
+    val (oversized, dropped) =
+      Ann.capStats(corpus, dim = 8, nBits = 6, nTables = 2, seed = 42L, bucketCap = 8)
+    assert(oversized == 0L && dropped == 0L,
+      s"phantom truncation reported for rows the cap never sees: ($oversized, $dropped)")
+  }
+
   test("IVF top-k reaches high recall@3 vs brute force on clustered embeddings") {
     val centers = mkVecs(40, 16, 23L)
     val members = centers.zipWithIndex.flatMap { case ((_, c), ci) =>

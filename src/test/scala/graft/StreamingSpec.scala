@@ -826,4 +826,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expect.toSeq, s"order-independence broken for ${ts.mkString(",")}: $got vs $expect")
     }
   }
+
+  test("crash between bucket and sig appends: replay converges to one bucket copy") {
+    import spark.implicits._
+    val cfg = Dedup.Config()
+    val tmp = Files.createTempDirectory("graft-intent").toString
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+    val all = Synth.transcripts(spark, Synth.Config(nClusters = 30)).toDF.cache()
+    val convs = all.select("conv_id").distinct().as[String].collect().sorted
+    val (aSet, bSet) = convs.splitAt(convs.length / 2)
+    val batchA = all.where(col("conv_id").isin(aSet: _*))
+    val batchB = all.where(col("conv_id").isin(bSet: _*))
+    IncrementalDedup.processBatch(spark, batchA, stores, cfg, batchSeq = 0L)
+    // simulate batch B dying BETWEEN its two appends: intent marker burned
+    // and bucket entries written, but the sig append never happened — the
+    // exact state the streaming replay then observes
+    val sigsB = Dedup.signatures(Dedup.shingle(Dedup.assemble(batchB), cfg), cfg)
+    IncrementalDedup.burnIntent(spark, stores, 1L)
+    IncrementalDedup.bucketEntriesWithShard(sigsB, cfg, stores.bucketShards)
+      .write.partitionBy("shard").mode("append").parquet(stores.bucketStore)
+    assert(IncrementalDedup.intentPending(spark, stores))
+    // REPLAY of batch B (structured streaming re-runs the failed batch;
+    // pre-fix this appended a SECOND copy of every entry — double-counting
+    // the hot-bucket window and hash-thinning genuine members forever)
+    IncrementalDedup.processBatch(spark, batchB, stores, cfg, batchSeq = 1L)
+    assert(!IncrementalDedup.intentPending(spark, stores), "marker must clear on success")
+    val post = spark.read.parquet(stores.bucketStore)
+    val dupes = post.groupBy($"pass", $"bucket", $"id").count().where($"count" > 1).count()
+    assert(dupes == 0, s"$dupes duplicated bucket entries survived the replay")
+    // every conv of both batches is present exactly as a clean A-then-B run
+    val expect = IncrementalDedup.bucketEntriesWithShard(
+      Dedup.signatures(Dedup.shingle(Dedup.assemble(all), cfg), cfg), cfg, stores.bucketShards)
+    assert(post.count() == expect.count(), "store must equal a crash-free ingest")
+    val clusters = IncrementalDedup.clusterNow(spark, stores)
+    assert(clusters.count() == convs.length.toLong)
+  }
+
+  test("first-ever batch crash before its sig append: sweep resets the bucket store") {
+    import spark.implicits._
+    val cfg = Dedup.Config()
+    val tmp = Files.createTempDirectory("graft-intent0").toString
+    val stores = IncrementalDedup.Stores(s"$tmp/sigs", s"$tmp/pairs")
+    val batch = Synth.transcripts(spark, Synth.Config(nClusters = 10)).toDF
+    val sigs = Dedup.signatures(Dedup.shingle(Dedup.assemble(batch), cfg), cfg)
+    // crashed first-ever batch: meta written (the real batch writes it
+    // before any append), bucket store exists, sig store never did
+    IncrementalDedup.validateOrWriteMeta(spark, stores)
+    IncrementalDedup.burnIntent(spark, stores, 0L)
+    IncrementalDedup.bucketEntriesWithShard(sigs, cfg, stores.bucketShards)
+      .write.partitionBy("shard").mode("append").parquet(stores.bucketStore)
+    IncrementalDedup.processBatch(spark, batch, stores, cfg, batchSeq = 0L)
+    assert(!IncrementalDedup.intentPending(spark, stores))
+    val post = spark.read.parquet(stores.bucketStore)
+    assert(post.groupBy($"pass", $"bucket", $"id").count().where($"count" > 1).count() == 0,
+      "orphans of the crashed first batch must not duplicate on replay")
+  }
 }
