@@ -600,6 +600,16 @@ object SparkEntry {
           packShard($"n_tokens").as("shard"))
     }),
 
+    // ---- token-budget mixture sampling (corpus assembly): per-source token
+    // quotas filled greedily in md5(doc_id) order — the domain-reweighting
+    // step (source weights → budgets), distinct from d09's fixed rates and
+    // t03's pack-everything shards. One per-source window shuffle; the
+    // straddling doc is kept (greedy prefix). Deterministic: same doc, same
+    // priority, every rerun — the oracle re-derives the full selection
+    "c04_mixture_sample" -> ((s, d) =>
+      graft.ops.Curation.mixtureSample(
+        t(s, d, "documents"), quotas = Map("src0" -> 800L), defaultQuota = 500L)),
+
     // ---- deterministic stratified sampling (training-data curation):
     // hash-bucket each doc by md5(doc_id) and keep per-stratum rates (50% of
     // 'en', 80% of everything else — downweight the dominant language). Pure
@@ -623,6 +633,37 @@ object SparkEntry {
       t(s, d, "documents")
         .withColumn("n_tokens", size(split($"text", " ")))
         .select($"doc_id", $"source", $"n_tokens", packShard($"n_tokens").as("shard"))
+    }),
+
+    // ---- intra-document repetition metrics (Gopher/MassiveText duplicate-
+    // n-gram quality filters, Rae et al. 2021 A1.1): per (doc, n) the repeat
+    // fraction and top-gram share of n-gram occurrences in integer ppm.
+    // Explode → two-level keyed aggregate (the 100 TB shape: occurrence
+    // counting shuffles gram GROUPS, never materializes a per-row multiset)
+    "t04_repetition" -> ((s, d) =>
+      graft.ops.TextAnalysis.repetitionStats(t(s, d, "documents"), ns = Seq(2, 3))),
+
+    // ---- as-of join (time-series enrichment): attribute each purchase to
+    // the user's most recent strictly-preceding click. Spark has no native
+    // as-of operator; ops/Align.asOfJoin composes it as ONE keyed window
+    // pass (union + tag + last-ignoreNulls carry) — no join node, linear in
+    // the key's rows where the naive equi-join+argmax is quadratic. The
+    // oracle re-derives every match with a genuinely different algorithm
+    // (per-row LATERAL nested loop + ORDER BY/LIMIT argmax)
+    "q28_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events").where($"ts".isNotNull)
+      val purchases = ev.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.where($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"))
+      graft.ops.Align
+        .asOfJoin(purchases, clicks, Seq("user_id"), "ts", rightTie = Seq("click_id"))
+        .select(
+          $"event_id",
+          $"user_id",
+          unix_timestamp($"ts").as("ts_sec"),
+          $"matched.click_id".as("click_id"),
+          unix_timestamp($"matched.ts").as("click_ts_sec"))
     }),
 
     // ---- sign-LSH bucketed ANN over embeddings (rows-only approximate op)
@@ -1384,6 +1425,48 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
         |  ((cum - n_tokens)::BIGINT // 512) AS shard
         |FROM c""".stripMargin,
+    "c04_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    md5(doc_id::VARCHAR) AS priority
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY priority NULLS FIRST, doc_id NULLS FIRST
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT doc_id, source, n_tokens, cum FROM s
+        |WHERE cum - n_tokens < CASE WHEN source = 'src0' THEN 800 ELSE 500 END""".stripMargin,
+    "t04_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, 2 AS n,
+        |    unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram
+        |  FROM toks WHERE len(t) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n,
+        |    unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS gram
+        |  FROM toks WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id, n, SUM(c)::BIGINT AS n_grams,
+        |  ((SUM(c) - COUNT(*)) * 1000000) // SUM(c) AS dup_ppm,
+        |  (MAX(c) * 1000000) // SUM(c) AS top_ppm
+        |FROM cnt GROUP BY 1, 2""".stripMargin,
+    "q28_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE ts IS NOT NULL AND event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE ts IS NOT NULL AND event_type = 'click')
+        |SELECT p.event_id, p.user_id, CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS ts_sec,
+        |  m.event_id AS click_id, CAST(FLOOR(epoch(m.ts)) AS BIGINT) AS click_ts_sec
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id, c.ts FROM c
+        |  WHERE c.user_id = p.user_id AND c.ts < p.ts
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) m ON TRUE""".stripMargin,
     // t01: the oracle mirrors T.normalize-then-tokenize EXACTLY (lowercase,
     // non-alnum runs -> one space, trim, empty -> 0 tokens, null -> null
     // count with 0.0 ratios) — a raw split-on-space would diverge on any

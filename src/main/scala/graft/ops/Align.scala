@@ -107,4 +107,78 @@ object Align {
     withRowIndex(left, leftOrder, indexCol)
       .join(withRowIndex(right, rightOrder, indexCol), Seq(indexCol), "inner")
   }
+
+  /** As-of join — for each left row, the single right row sharing its join
+    * key with the greatest event time strictly before (default) or at/before
+    * (`inclusive = true`) the left row's. The standard time-series
+    * enrichment join (attribute each outcome to the latest preceding
+    * reference event) that Spark has no native operator for.
+    *
+    * Composed Spark-first as ONE keyed window pass instead of any join:
+    * tag both sides, union them, sort each key group by
+    * (ts, side-tag, rightTie…), carry the last right-side payload seen with
+    * `last(..., ignoreNulls)` over a rows-frame, and keep the left rows.
+    * That is a single hash shuffle on `keys` with a local sort — no range
+    * join, no per-key explosion (the naive equi-join + `ts` filter + argmax
+    * is quadratic in a hot key's row count; this is linear), AQE-splittable
+    * on skewed keys like any keyed window.
+    *
+    * Determinism: right rows tied on `tsCol` within a key are resolved by
+    * the caller's `rightTie` columns (last in ascending tie order wins);
+    * pass tie columns that make the right side's order total or the pick
+    * among exact-ts ties is plan-dependent. Left rows with a null `tsCol`
+    * match nothing (null event time cannot be "after" anything); right rows
+    * with a null `tsCol` are dropped for the same reason — nulls-first
+    * ordering would otherwise leak them into every match. Output: all left
+    * columns plus `matchedCol`, a nullable struct of ALL right columns
+    * (null = no admissible right row).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      rightTie: Seq[String] = Nil,
+      matchedCol: String = "matched",
+      inclusive: Boolean = false
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // NOT functions._ — functions.left/right would shadow the parameters
+    import org.apache.spark.sql.functions.{col, last, lit, struct}
+    require(keys.nonEmpty, "asOfJoin needs at least one join key column")
+    require(!left.columns.contains(matchedCol),
+      s"asOfJoin output column '$matchedCol' already exists in the left side")
+    val tagCol = "__graft_asof_tag"
+    val tieCols = rightTie.indices.map(i => s"__graft_asof_tie$i")
+    // at equal ts a right row is admissible only under inclusive semantics:
+    // sort it before the left row (tag 0) when inclusive, after (tag 1) when
+    // strict — the rows-frame then includes/excludes it automatically
+    val (leftTag, rightTag) = if (inclusive) (1, 0) else (0, 1)
+    val payload = struct(right.columns.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+    val leftRest = left.columns.filterNot(keys.contains)
+    val lpart = left.select(
+      keys.map(col) ++
+        leftRest.map(col) ++
+        Seq(lit(leftTag).as(tagCol), lit(null).cast(payloadType).as(matchedCol)) ++
+        rightTie.zip(tieCols).map { case (src, alias) =>
+          lit(null).cast(right.schema(src).dataType).as(alias)
+        }: _*)
+    val rpart = right.where(col(tsCol).isNotNull).select(
+      keys.map(col) ++
+        leftRest.map { c =>
+          val f = if (c == tsCol) col(tsCol) else lit(null).cast(left.schema(c).dataType)
+          f.as(c)
+        } ++
+        Seq(lit(rightTag).as(tagCol), payload.as(matchedCol)) ++
+        rightTie.zip(tieCols).map { case (src, alias) => col(src).as(alias) }: _*)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol).asc, col(tagCol).asc) ++ tieCols.map(col(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lpart.unionByName(rpart)
+      .withColumn(matchedCol, last(col(matchedCol), ignoreNulls = true).over(w))
+      .where(col(tagCol) === leftTag)
+      .select(left.columns.map(col) :+ col(matchedCol): _*)
+  }
 }

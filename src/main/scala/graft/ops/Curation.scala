@@ -85,4 +85,54 @@ object Curation {
       .select(col(idCol), $"cluster", $"n_tokens",
         when($"rn" === 1, 1).otherwise(0).as("kept"))
   }
+
+  /** Token-budget mixture sampling: build a training mixture by selecting,
+    * per source, a deterministic pseudo-random subset of documents whose
+    * token counts greedily fill that source's token quota — the
+    * domain-reweighting step of corpus assembly (source weights → token
+    * budgets), distinct from d09's fixed-RATE strata and t03's pack-all
+    * sharding. Selection order is md5 of the id (the d09 contract): the
+    * same doc draws the same priority on every rerun/backfill, so the
+    * mixture is reproducible and independent of physical layout. The doc
+    * that straddles the quota boundary is kept (greedy prefix, the t03
+    * convention: a row survives iff its source's budget was not already
+    * exhausted before it). Token count is the raw whitespace split
+    * (d03/t03 token space). Sources absent from `quotas` get
+    * `defaultQuota`; null text drops the row (no token count → never
+    * selected).
+    *
+    * Output: (idCol, sourceCol, n_tokens, cum) with `cum` the running
+    * token total at and including this row in selection order.
+    *
+    * Scale shape: one per-source window shuffle — hash partition on
+    * source, local sort by (priority, id); no global sort, no join. Skew
+    * bound: a source's rows must window on one partition-task; at 10^12
+    * docs shard the window key like t03's packing discussion (the quota
+    * then applies per (source, shard) slice).
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      quotas: Map[String, Long],
+      defaultQuota: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(defaultQuota >= 0 && quotas.values.forall(_ >= 0), "quotas must be non-negative")
+    val quotaMap =
+      if (quotas.isEmpty) lit(null).cast("map<string,bigint>")
+      else map(quotas.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val w = Window.partitionBy(col(sourceCol)).orderBy($"priority", col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col(idCol),
+        col(sourceCol),
+        size(split(col(textCol), " ")).cast("bigint").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("priority"))
+      .where($"n_tokens".isNotNull)
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .where($"cum" - $"n_tokens" <
+        coalesce(element_at(quotaMap, col(sourceCol)), lit(defaultQuota)))
+      .select(col(idCol), col(sourceCol), $"n_tokens", $"cum")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text => T}
@@ -127,4 +127,64 @@ object TextAnalysis {
       }: _*),
       t => t.isNotNull
     )
+
+  /** Intra-document repetition metrics — the published duplicate-n-gram
+    * quality filters (Rae et al. 2021 "Scaling Language Models: ... Gopher",
+    * appendix A1.1; reused by MassiveText/RefinedWeb-style curation): per
+    * document and n-gram order n, the fraction of n-gram OCCURRENCES that
+    * are repeats of an earlier occurrence (`dup_ppm` = (total − distinct) /
+    * total) and the most frequent n-gram's share of all occurrences
+    * (`top_ppm`), both as integer parts-per-million (`div`, engine-exact).
+    * Tokens are the raw whitespace split (the d03/t03 token space) so an
+    * independent SQL engine ranks identically.
+    *
+    * Documents with fewer than n tokens carry no order-n row (no n-gram
+    * exists); null text yields no rows. Output:
+    * (idCol, n, n_grams, dup_ppm, top_ppm) — long form, one row per
+    * (document, n).
+    *
+    * Scale shape: explode → two-level aggregate. The gram multiset never
+    * materializes per row (no per-row quadratic HOF to find the mode);
+    * occurrence counting is ONE hash shuffle on (id, n, gram) with map-side
+    * partial counts, the roll-up a second shuffle on (id, n) — both keyed,
+    * skew-bounded by document length, no cartesian, no collect. At 100 TB
+    * this is the same shape as the d08 inverted index: only gram groups
+    * flow, and whole-stage codegen covers the gram construction.
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      ns: Seq[Int] = Seq(2, 3),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"n-gram orders must be >= 1: $ns")
+    val toks = split(col(textCol), " ")
+    val exploded = ns.map { n =>
+      val grams =
+        if (n == 1) toks
+        else
+          transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+      docs
+        // guard BEFORE sequence(): size-n < 0 would generate a descending
+        // sequence, not an empty one (null text: size(null) is null → dropped)
+        .where(size(toks) >= n)
+        .select(col(idCol), lit(n).as("n"), explode(grams).as("gram"))
+    }
+    exploded
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(
+        col(idCol),
+        col("n"),
+        col("n_grams"),
+        expr("((n_grams - n_distinct) * 1000000) div n_grams").as("dup_ppm"),
+        expr("(top_c * 1000000) div n_grams").as("top_ppm"))
+  }
 }

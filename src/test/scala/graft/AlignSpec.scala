@@ -57,4 +57,62 @@ class AlignSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("disjoint"))
   }
+
+  // ---------- asOfJoin ----------
+
+  private def asOfFixture = (
+    // probes: (event_id, key, ts)
+    Seq((1L, "u1", 100L), (2L, "u1", 50L), (3L, "u2", 100L), (4L, "u3", 10L))
+      .toDF("event_id", "k", "ts"),
+    // refs: (key, ts, ref_id) — u1 has refs at 40,40,100; u2 at 99; u3 none
+    Seq(("u1", 40L, 10L), ("u1", 40L, 11L), ("u1", 100L, 12L), ("u2", 99L, 13L))
+      .toDF("k", "ts", "ref_id")
+  )
+
+  test("asOfJoin: strict latest-preceding match per key, null when none") {
+    val (probes, refs) = asOfFixture
+    val out = Align.asOfJoin(probes, refs, Seq("k"), "ts", rightTie = Seq("ref_id"))
+      .select($"event_id", $"matched.ref_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // probe 1 (u1@100): ref@100 excluded under strict <; ties at 40 → max ref_id 11
+    assert(out(1L) == 11L)
+    assert(out(2L) == 11L) // u1@50: the 40s precede, 100 does not
+    assert(out(3L) == 13L) // u2@100 → ref@99
+    assert(out(4L) == -1L) // u3: no refs at all
+  }
+
+  test("asOfJoin inclusive=true admits the equal-ts reference row") {
+    val (probes, refs) = asOfFixture
+    val out = Align
+      .asOfJoin(probes, refs, Seq("k"), "ts", rightTie = Seq("ref_id"), inclusive = true)
+      .where($"event_id" === 1L).select($"matched.ref_id").collect()
+    assert(out.head.getLong(0) == 12L)
+  }
+
+  test("asOfJoin: null-ts probes match nothing; null-ts references never leak") {
+    val probes = Seq((1L, "u", Some(100L)), (2L, "u", Option.empty[Long]))
+      .toDF("event_id", "k", "ts")
+    val refs = Seq(("u", Option.empty[Long], 7L), ("u", Some(10L), 8L))
+      .toDF("k", "ts", "ref_id")
+    val out = Align.asOfJoin(probes, refs, Seq("k"), "ts", rightTie = Seq("ref_id"))
+      .select($"event_id", $"matched.ref_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) == 8L) // the null-ts ref (7) is dropped, not carried
+    assert(out(2L) == -1L) // a probe without an event time matches nothing
+  }
+
+  test("asOfJoin output is layout-invariant and keeps all probe rows/columns") {
+    val probes = (1 to 500).map(i => (i.toLong, s"k${i % 7}", (i * 13 % 997).toLong, s"p$i"))
+      .toDF("event_id", "k", "ts", "payload")
+    val refs = (1 to 300).map(i => (s"k${i % 7}", (i * 29 % 997).toLong, i.toLong))
+      .toDF("k", "ts", "ref_id")
+    def run(p: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      Align.asOfJoin(p, r, Seq("k"), "ts", rightTie = Seq("ref_id"))
+        .select($"event_id", $"payload", $"matched.ref_id".as("rid"))
+        .collect().map(x => (x.getLong(0), x.getString(1), if (x.isNullAt(2)) -1L else x.getLong(2)))
+        .toSet
+    val a = run(probes, refs)
+    val b = run(probes.repartition(11), refs.repartition(3))
+    assert(a == b && a.size == 500)
+  }
 }

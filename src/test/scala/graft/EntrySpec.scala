@@ -85,7 +85,8 @@ class EntrySpec extends AnyFunSuite {
       "d05_langid", "d06_fingerprints", "d07_substring_dup", "d08_decontaminate",
       "d09_sample_stratified", "d10_lsh_neardup", "d11_simhash_neardup",
       "c01_cluster_keep_best", "c02_pii_scrub", "c03_curation_pipeline",
-      "t01_quality", "t02_subword", "t03_token_packing", "q25_keyword_classify")
+      "c04_mixture_sample", "t01_quality", "t02_subword", "t03_token_packing",
+      "t04_repetition", "q25_keyword_classify")
     for (q <- docQueries) {
       val n =
         try SparkEntry.queries(q)(spark, pathologicalDocs).collect().length
@@ -133,7 +134,8 @@ class EntrySpec extends AnyFunSuite {
 
   test("embeddings- and events-table queries are total over pathological rows") {
     val failures = Seq("e01_cosine_topk", "a02_ann_lsh", "a03_embedding_neardup", "a04_ann_ivf",
-      "q23_event_sessions", "q24_event_window", "q26_sessions", "q27_sliding_window").flatMap { q =>
+      "q23_event_sessions", "q24_event_window", "q26_sessions", "q27_sliding_window",
+      "q28_asof_join").flatMap { q =>
       try { SparkEntry.queries(q)(spark, pathologicalVecsAndEvents).collect(); None }
       catch {
         case e: Exception =>

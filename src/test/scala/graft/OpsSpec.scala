@@ -516,4 +516,67 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(_._1)
     assert(out.toSeq == Seq((5L, 5L, 0), (6L, 5L, 1), (9L, 9L, 1)))
   }
+
+  test("repetitionStats: hand-computed dup/top ppm per n-gram order") {
+    val docs = Seq(
+      (1L, "a b a b a"), // bigrams: ab,ba,ab,ba; trigrams: aba,bab,aba
+      (2L, "p q r s"), // all grams unique
+      (3L, "x y"), // bigram only — no trigram row
+      (4L, "z"), // too short for both orders
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, ns = Seq(2, 3))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // doc 1: 4 bigrams / 2 distinct / top 2 → dup 500000, top 500000
+    assert(out((1L, 2)) == ((4L, 500000L, 500000L)))
+    // doc 1: 3 trigrams / 2 distinct / top 2 → dup 333333, top 666666
+    assert(out((1L, 3)) == ((3L, 333333L, 666666L)))
+    assert(out((2L, 2)) == ((3L, 0L, 333333L)))
+    assert(out((2L, 3)) == ((2L, 0L, 500000L)))
+    assert(out((3L, 2)) == ((1L, 0L, 1000000L)))
+    // no rows for sub-n docs, the trigram of doc 3, or null text
+    assert(!out.contains((3L, 3)) && !out.keySet.exists(k => k._1 == 4L || k._1 == 5L))
+  }
+
+  test("repetitionStats n=1 counts token repetition directly") {
+    val docs = Seq((1L, "t t t u")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, ns = Seq(1)).collect().head
+    assert((out.getLong(2), out.getLong(3), out.getLong(4)) == ((4L, 500000L, 750000L)))
+  }
+
+  /** reference md5-hex of an id — the mixture/sampling priority contract */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("mixtureSample fills each source's token quota greedily in md5 order") {
+    // 6 docs of 10 tokens each per source: quota 25 keeps the first 3 in
+    // md5-priority order (cum 10,20,30 — the 30 straddles and is kept)
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 6L).flatMap(i =>
+      Seq((i, "sa", text10), (i + 100L, "sb", text10))).toDF("doc_id", "source", "text")
+    val out = graft.ops.Curation
+      .mixtureSample(docs, quotas = Map("sa" -> 25L), defaultQuota = 45L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySource = out.groupBy(_._2)
+    // sa: quota 25 → 3 docs (last straddles); sb: default 45 → 5 docs
+    assert(bySource("sa").length == 3 && bySource("sa").map(_._3).sum == 30)
+    assert(bySource("sb").length == 5 && bySource("sb").map(_._3).sum == 50)
+    // the selected set is exactly the md5-order prefix, cum matches that order
+    val expectSa = (0L until 6L).sortBy(i => md5hex(i.toString)).take(3)
+    assert(bySource("sa").map(_._1).toSet == expectSa.toSet)
+    assert(bySource("sa").sortBy(t => md5hex(t._1.toString)).map(_._4).toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("mixtureSample is layout-invariant and drops null text") {
+    val docs = ((1L to 40L).map(i => (i, s"s${i % 3}", s"tok a b c d${i % 7}")) :+
+      ((99L, "s0", null.asInstanceOf[String]))).toDF("doc_id", "source", "text")
+    val a = graft.ops.Curation.mixtureSample(docs, Map.empty, 60L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val b = graft.ops.Curation.mixtureSample(docs.repartition(7), Map.empty, 60L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(a == b && a.nonEmpty && !a.exists(_._1 == 99L))
+  }
 }

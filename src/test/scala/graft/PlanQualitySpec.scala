@@ -197,6 +197,37 @@ class PlanQualitySpec extends AnyFunSuite {
       s"t03 must not globally sort:\n${s.take(2000)}")
   }
 
+  test("mixture sampling: one keyed shuffle per source, local sort only") {
+    val df = SparkEntry.queries("c04_mixture_sample")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"c04 must shuffle once on source:\n${s.take(3000)}")
+    assert(!s.contains("Exchange rangepartitioning") && !s.contains("Join") &&
+      !s.contains("CartesianProduct"),
+      s"c04 must not globally sort or join:\n${s.take(2000)}")
+  }
+
+  test("repetition metrics: two keyed aggregate shuffles, no cartesian, no per-row mode HOF") {
+    val df = SparkEntry.queries("t04_repetition")(spark, sf)
+    val s = formatted(df)
+    // gram-occurrence count on (id, n, gram) + roll-up on (id, n); nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 2,
+      s"t04 must be explode -> two keyed aggregates:\n${s.take(3000)}")
+    assert(!s.contains("CartesianProduct") && !s.contains("Join"), s.take(2000))
+    assert(s.contains("partial_count") || s.contains("HashAggregate"),
+      "occurrence counting must partial-aggregate map-side")
+  }
+
+  test("as-of join plans as ONE keyed window pass — no join operator at all") {
+    val df = SparkEntry.queries("q28_asof_join")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Join") && !s.contains("CartesianProduct"),
+      s"q28 must not plan any join node:\n${s.take(3000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"q28 must shuffle once on the key:\n${s.take(3000)}")
+    assert(s.contains("Window"), "the carry must be a window, not a collect")
+  }
+
   test("conversation assembly: one keyed shuffle into the per-conv state pass") {
     import spark.implicits._
     val turns = graft.synth.Synth
