@@ -129,7 +129,10 @@ object Align {
     * among exact-ts ties is plan-dependent. Left rows with a null `tsCol`
     * match nothing (null event time cannot be "after" anything); right rows
     * with a null `tsCol` are dropped for the same reason — nulls-first
-    * ordering would otherwise leak them into every match. Output: all left
+    * ordering would otherwise leak them into every match. Null JOIN keys
+    * follow equi-join semantics, not window-partition semantics: a
+    * null-keyed right row is dropped and a null-keyed left row comes back
+    * unmatched (null never equals null). Output: all left
     * columns plus `matchedCol`, a nullable struct of ALL right columns
     * (null = no admissible right row).
     */
@@ -164,7 +167,12 @@ object Align {
         rightTie.zip(tieCols).map { case (src, alias) =>
           lit(null).cast(right.schema(src).dataType).as(alias)
         }: _*)
-    val rpart = right.where(col(tsCol).isNotNull).select(
+    // null-keyed reference rows are dropped like null-ts ones: a window's
+    // partitionBy groups null keys together, which would "match" null to
+    // null — no SQL as-of/equi-join does that. Null-keyed probe rows then
+    // sit in a reference-free partition and come back unmatched.
+    val rightKeyed = keys.map(col(_).isNotNull).reduce(_ && _)
+    val rpart = right.where(col(tsCol).isNotNull && rightKeyed).select(
       keys.map(col) ++
         leftRest.map { c =>
           val f = if (c == tsCol) col(tsCol) else lit(null).cast(left.schema(c).dataType)

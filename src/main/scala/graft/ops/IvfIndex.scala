@@ -53,16 +53,13 @@ object IvfIndex {
       .toDF("cell", "centroid")
       .coalesce(1) // nCells rows of metadata — one file
       .write.mode("overwrite").parquet(s"$path/centroids")
-    // a DEGENERATE index (all-degenerate corpus -> no centroids, empty
-    // lists) must stay save/load-round-trippable: a partitionBy write of
-    // zero rows creates no data files at all, and reading the directory
-    // back would fail schema inference — write the empty frame
-    // unpartitioned instead (one schema-bearing empty file; `cell` rides
-    // as a regular column, which load()'s cast normalizes either way)
-    if (h.lists.isEmpty)
-      h.lists.coalesce(1).write.mode("overwrite").parquet(s"$path/lists")
-    else
-      h.lists.write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
+    // ALWAYS the partitioned layout — one lineage execution, no emptiness
+    // probe (an `isEmpty` pre-check would run the full buildLists shuffle a
+    // second time just to pick a branch). A DEGENERATE index (empty lists)
+    // writes no data files at all under partitionBy; load() detects the
+    // file-less directory and substitutes the canonical empty frame instead
+    // of failing schema inference, so the round trip still holds.
+    h.lists.write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
   }
 
   /** Add vectors to a SAVED index without retraining: the new rows are
@@ -78,22 +75,22 @@ object IvfIndex {
     */
   def add(spark: SparkSession, path: String, vectors: DataFrame, listCap: Int = 100000): Unit = {
     val h = load(spark, path)
-    val newLists = Ann.buildLists(vectors, h.centroids, listCap)
-    // nothing to add: all rows degenerate, or the index is untrained (no
-    // centroids — the frozen-centroid contract says rebuild, not append);
-    // appending zero rows would also create no files, so skip outright
-    if (newLists.isEmpty) return
-    val lp = s"$path/lists"
-    val dir = new org.apache.hadoop.fs.Path(lp)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    // an index saved with EMPTY lists holds a schema-marker file at the
-    // directory root instead of cell= partition dirs (see save); appending
-    // partitioned data beside it would mix the two layouts and break
-    // partition discovery — the first real add replaces the marker
-    val partitioned = fs.listStatus(dir)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-    newLists.write.mode(if (partitioned) "append" else "overwrite")
-      .partitionBy("cell").parquet(lp)
+    // one write, one lineage execution: nothing-to-add (all rows degenerate,
+    // or an untrained index whose frozen-centroid contract says rebuild, not
+    // append) appends zero rows — which creates no data files and changes
+    // nothing; probing an `isEmpty` first would run the whole quantization
+    // shuffle twice
+    Ann.buildLists(vectors, h.centroids, listCap)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
+  }
+
+  /** The canonical empty lists frame (a degenerate index's load-back shape):
+    * string ids, double vectors — probe joins upcast real query columns to
+    * these, and an empty probe result is empty regardless.
+    */
+  private def emptyLists(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Seq[Double], Int)].toDF("neighbor_id", "nv", "cell")
   }
 
   def load(spark: SparkSession, path: String): Handle = {
@@ -101,10 +98,20 @@ object IvfIndex {
       .orderBy("cell")
       .collect()
       .map(_.getSeq[Double](1).toArray)
-    // `cell` comes back as the inferred partition column; pin its type so the
-    // probe join key matches the freshly-built frame exactly
-    val lists = spark.read.parquet(s"$path/lists")
-      .withColumn("cell", col("cell").cast("int"))
+    val lp = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    // a degenerate index's zero-row partitionBy write left no data files
+    // (only _SUCCESS); schema inference cannot run on that — substitute the
+    // canonical empty frame
+    val it = fs.listFiles(lp, true)
+    var hasData = false
+    while (!hasData && it.hasNext) hasData = it.next().getPath.getName.endsWith(".parquet")
+    val lists =
+      if (!hasData) emptyLists(spark)
+      else
+        // `cell` comes back as the inferred partition column; pin its type so
+        // the probe join key matches the freshly-built frame exactly
+        spark.read.parquet(s"$path/lists").withColumn("cell", col("cell").cast("int"))
     Handle(centroids, lists)
   }
 

@@ -89,8 +89,18 @@ object ConnectedComponents {
     def pin(d: DataFrame): DataFrame = runDir match {
       case Some(rd) =>
         val cur = s"$rd/r$round"
-        spark.sparkContext.setCheckpointDir(cur)
-        val out = d.checkpoint(true) // eager: materialized before we return
+        // checkpointDir is CONTEXT-global: without the lock, two runs
+        // sharing one SparkContext interleave — this run's files land under
+        // the other run's round dir (the dir is captured when checkpoint()
+        // registers, inside Dataset.checkpoint) and the other run's
+        // next-round cleanup DELETES them. Serializing set-dir +
+        // materialization is the price of reliable checkpoints; only the
+        // rare above-cutoff concurrent runs ever contend here.
+        val out = ConnectedComponents.checkpointDirLock.synchronized {
+          spark.sparkContext.setCheckpointDir(cur)
+          d.checkpoint(true) // eager: materialized before we return
+        }
+        // own files only — safe outside the lock
         prevRoundDir.foreach { old =>
           val p = new org.apache.hadoop.fs.Path(old)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
@@ -179,12 +189,21 @@ object ConnectedComponents {
     * of each set (matching the distributed loop's labeling exactly,
     * independent of edge order).
     */
+  /** Serializes the context-global `setCheckpointDir` + eager checkpoint
+    * pair across concurrent [[run]]s in one JVM (see the pin() note).
+    */
+  private[plans] val checkpointDirLock = new Object
+
   /** Delete every `run_*` checkpoint tree under `dir`. Call ONLY once no
     * DataFrame returned by [[run]] with this `checkpointDir` is still
     * pending materialization — the final round's files back the result's
     * lineage (see the per-round cleanup note in [[run]]); after the result
     * is persisted (e.g. the checkpointed runner's clusters stage) they are
-    * dead weight at one full edge-set copy per historical run.
+    * dead weight at one full edge-set copy per historical run. The same
+    * rule extends across sessions: `dir` must not be a checkpoint root
+    * SHARED with a pipeline that is still running, or its live final round
+    * is collateral — give each pipeline its own warehouse (the
+    * checkpointed runner does).
     */
   def cleanCheckpoints(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)

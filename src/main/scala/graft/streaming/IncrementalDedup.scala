@@ -208,7 +208,19 @@ object IncrementalDedup {
         val in = fs.open(legacy)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong finally in.close()
       }
-    math.max(markerMax, legacyVal)
+    val fromMarkers = math.max(markerMax, legacyVal)
+    // Pre-marker-era store (pairs carry ingest_seq stamps, but neither the
+    // marker dir nor the legacy file exists): floor at the store's own
+    // persisted max. Without this, a caller whose sequence restarted at 0
+    // (fresh stream checkpoint against an upgraded store) would stamp new
+    // pairs BELOW the refresh high-water and hide them from every
+    // incremental refresh. One aggregate, paid only until the first burn
+    // creates the marker dir.
+    if (fromMarkers != Long.MinValue || !storeExists(spark, stores.pairStore)) fromMarkers
+    else {
+      val r = spark.read.parquet(stores.pairStore).agg(max($"ingest_seq")).head
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    }
   }
 
   /** Persist `v` as the new high-water (see [[seqHighWater]] for the crash
@@ -631,16 +643,27 @@ object IncrementalDedup {
     fs.delete(tmp, true)
     fs.delete(aside, true)
     val df = transform(spark.read.parquet(path))
-    // a transform can filter the store to nothing (the orphan sweep over a
-    // store whose every conv was orphaned): writing zero rows would leave a
-    // data-file-less directory that breaks the next read — absent IS the
-    // legal empty-store state (every reader guards via storeExists)
-    if (df.isEmpty) { fs.delete(p, true); return }
     partCol match {
       // hash-repartition ON the partition column: every shard lands in
       // exactly one task, so each directory comes out as one file
       case Some(c) => df.repartition(n, col(c)).write.partitionBy(c).parquet(tmp.toString)
       case None    => df.repartition(n).write.parquet(tmp.toString)
+    }
+    // a transform can filter the store to nothing (the orphan sweep over a
+    // store whose every conv was orphaned): swapping in zero rows would
+    // leave a data-file-less directory that breaks the next read — absent
+    // IS the legal empty-store state (every reader guards via storeExists).
+    // Detect emptiness from the WRITTEN tmp (no data files under a
+    // partitioned write; one schema-only file under a plain write — cheap
+    // to re-read), not from an `isEmpty` pre-probe on `df`, which would
+    // execute the transform's store scan + semi-join a second time.
+    val it = fs.listFiles(tmp, true)
+    var hasData = false
+    while (!hasData && it.hasNext) hasData = it.next().getPath.getName.endsWith(".parquet")
+    if (!hasData || spark.read.parquet(tmp.toString).isEmpty) {
+      fs.delete(tmp, true)
+      fs.delete(p, true)
+      return
     }
     require(fs.rename(p, aside), s"compact: cannot move $path aside")
     require(fs.rename(tmp, p), s"compact: cannot swap in compacted $path")

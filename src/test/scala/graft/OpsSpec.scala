@@ -194,10 +194,10 @@ class OpsSpec extends AnyFunSuite {
     import graft.ops.IvfIndex
     import spark.implicits._
     // every row fails the finiteVecs gate -> no trainable dimension -> an
-    // UNTRAINED index; it must still be persistable (the empty lists frame
-    // is written unpartitioned — a zero-row partitionBy write creates no
-    // data files and the read-back cannot infer a schema) and probe/add
-    // must return/append nothing instead of throwing
+    // UNTRAINED index; it must still be persistable (a zero-row partitionBy
+    // write creates no data files, and load() substitutes the canonical
+    // empty frame for the file-less directory) and probe/add must
+    // return/append nothing instead of throwing
     val bad = Seq(
       ("b0", null.asInstanceOf[Seq[Double]]),
       ("b1", Seq(Double.NaN, 1.0)),
@@ -216,10 +216,10 @@ class OpsSpec extends AnyFunSuite {
     IvfIndex.add(spark, path, mkVecs(8, 16, 7L).toDF("id", "vec"))
     assert(IvfIndex.topK(probes, IvfIndex.load(spark, path), k = 3, nProbe = 2).count() == 0)
 
-    // trained centroids + an EMPTY first installment: the schema-marker
-    // layout must upgrade to the partitioned layout on the first real add
-    // (appending cell= dirs beside the root marker file would mix layouts
-    // and break partition discovery)
+    // trained centroids + an EMPTY first installment: the file-less lists
+    // directory must load as empty and accept the first real add directly
+    // (the layout is ALWAYS partitioned-by-cell; there is no special empty
+    // layout to upgrade from)
     val corpus = mkVecs(60, 16, 9L).toDF("id", "vec").cache()
     val centroids = Ann.trainCentroids(corpus, nCells = 4)
     val path2 = java.nio.file.Files.createTempDirectory("graft-ivf-degen2").toString + "/idx"
