@@ -158,21 +158,25 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"n-gram orders must be >= 1: $ns")
     val toks = split(col(textCol), " ")
-    val exploded = ns.map { n =>
+    // every order's grams come out of ONE pass over the text column (a
+    // per-order union would scan the corpus once per n — doubled IO at
+    // 100 TB): tag each gram with its order, concat, one explode
+    val tagged = ns.map { n =>
       val grams =
         if (n == 1) toks
         else
           transform(
             sequence(lit(0), size(toks) - n),
             i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-      docs
-        // guard BEFORE sequence(): size-n < 0 would generate a descending
-        // sequence, not an empty one (null text: size(null) is null → dropped)
-        .where(size(toks) >= n)
-        .select(col(idCol), lit(n).as("n"), explode(grams).as("gram"))
+      // guard BEFORE sequence(): size-n < 0 would generate a DESCENDING
+      // sequence, not an empty one (null text: size(null) is null → the
+      // otherwise branch's empty array → no rows)
+      when(size(toks) >= n, transform(grams, g => struct(lit(n).as("n"), g.as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
     }
-    exploded
-      .reduce(_ unionByName _)
+    docs
+      .select(col(idCol), explode(concat(tagged: _*)).as("t"))
+      .select(col(idCol), col("t.n").as("n"), col("t.gram").as("gram"))
       .groupBy(col(idCol), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol), col("n"))

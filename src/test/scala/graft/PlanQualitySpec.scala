@@ -207,7 +207,7 @@ class PlanQualitySpec extends AnyFunSuite {
       s"c04 must not globally sort or join:\n${s.take(2000)}")
   }
 
-  test("repetition metrics: two keyed aggregate shuffles, no cartesian, no per-row mode HOF") {
+  test("repetition metrics: ONE corpus scan, two keyed aggregate shuffles, no cartesian") {
     val df = SparkEntry.queries("t04_repetition")(spark, sf)
     val s = formatted(df)
     // gram-occurrence count on (id, n, gram) + roll-up on (id, n); nothing else
@@ -216,6 +216,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("Join"), s.take(2000))
     assert(s.contains("partial_count") || s.contains("HashAggregate"),
       "occurrence counting must partial-aggregate map-side")
+    // all gram orders come out of one tagged pass — a per-order union would
+    // read the whole corpus once per n (count in ONE plan rendering; the
+    // formatted() helper concatenates two)
+    val exec = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(exec).size == 1,
+      s"t04 must scan the corpus exactly once:\n${exec.take(3000)}")
   }
 
   test("as-of join plans as ONE keyed window pass — no join operator at all") {
