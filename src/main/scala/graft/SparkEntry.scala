@@ -635,6 +635,26 @@ object SparkEntry {
         .select($"doc_id", $"source", $"n_tokens", packShard($"n_tokens").as("shard"))
     }),
 
+    // ---- vocabulary coverage / OOV rate: top-200 corpus vocabulary
+    // (frequency desc, token asc — a total-order cut both engines select
+    // identically), then per-doc out-of-vocabulary ppm via a broadcast
+    // join. The tokenizer-coverage question asked before committing a
+    // vocab; two passes by nature (the vocab is a global aggregate)
+    "t05_vocab_oov" -> ((s, d) =>
+      graft.ops.TextAnalysis.vocabCoverage(t(s, d, "documents"), k = 200)),
+
+    // ---- per-source token-count quartiles: EXACT type-7 interpolated
+    // percentile (Spark `percentile`, not percentile_approx) — corpus
+    // length-distribution analytics; DuckDB's quantile_cont implements the
+    // same interpolation, making the values engine-exact under round(6)
+    "d12_source_quantiles" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy($"source")
+        .agg(expr("percentile(size(split(text, ' ')), array(0.25D, 0.5D, 0.75D))").as("qs"))
+        .select($"source", posexplode($"qs").as(Seq("qi", "qv")))
+        .select($"source", ((col("qi") + 1) * 25).as("q"), round($"qv", 6).as("value"))
+    }),
+
     // ---- intra-document repetition metrics (Gopher/MassiveText duplicate-
     // n-gram quality filters, Rae et al. 2021 A1.1): per (doc, n) the repeat
     // fraction and top-gram share of n-gram occurrences in integer ppm.
@@ -1454,6 +1474,27 @@ object SparkEntry {
         |  ((SUM(c) - COUNT(*)) * 1000000) // SUM(c) AS dup_ppm,
         |  (MAX(c) * 1000000) // SUM(c) AS top_ppm
         |FROM cnt GROUP BY 1, 2""".stripMargin,
+    "t05_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (
+        |  SELECT tok FROM toks GROUP BY tok
+        |  ORDER BY COUNT(*) DESC, tok NULLS FIRST LIMIT 200),
+        |sc AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_tokens, COUNT(v.tok) AS in_vocab
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY 1)
+        |SELECT doc_id, n_tokens, (n_tokens - in_vocab) AS oov,
+        |  ((n_tokens - in_vocab) * 1000000) // n_tokens AS oov_ppm
+        |FROM sc""".stripMargin,
+    "d12_source_quantiles" ->
+      """WITH c AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |q AS (SELECT source, quantile_cont(n, [0.25, 0.5, 0.75]) AS qs FROM c GROUP BY source)
+        |SELECT source, 25 AS q, round(qs[1], 6) AS value FROM q
+        |UNION ALL SELECT source, 50 AS q, round(qs[2], 6) AS value FROM q
+        |UNION ALL SELECT source, 75 AS q, round(qs[3], 6) AS value FROM q""".stripMargin,
     "q28_asof_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events

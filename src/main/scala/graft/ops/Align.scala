@@ -157,7 +157,7 @@ object Align {
     // sort it before the left row (tag 0) when inclusive, after (tag 1) when
     // strict — the rows-frame then includes/excludes it automatically
     val (leftTag, rightTag) = if (inclusive) (1, 0) else (0, 1)
-    val payload = struct(right.columns.map(col): _*)
+    val payload = struct(right.columns.toSeq.map(col): _*)
     val payloadType = right.select(payload).schema.head.dataType
     val leftRest = left.columns.filterNot(keys.contains)
     val lpart = left.select(
@@ -187,6 +187,6 @@ object Align {
     lpart.unionByName(rpart)
       .withColumn(matchedCol, last(col(matchedCol), ignoreNulls = true).over(w))
       .where(col(tagCol) === leftTag)
-      .select(left.columns.map(col) :+ col(matchedCol): _*)
+      .select(left.columns.toSeq.map(col) :+ col(matchedCol): _*)
   }
 }

@@ -128,6 +128,50 @@ object TextAnalysis {
       t => t.isNotNull
     )
 
+  /** Corpus vocabulary coverage — build the top-`k` token vocabulary by
+    * corpus frequency (ties at the boundary broken by token ascending, so
+    * the cut is total-order deterministic and an independent engine selects
+    * the identical set) and score every document's out-of-vocabulary rate
+    * against it, in integer ppm. The tokenizer-coverage question every
+    * training-data pipeline asks before committing a vocab/tokenizer:
+    * which documents fall outside the head of the distribution?
+    *
+    * Output: (idCol, n_tokens, oov, oov_ppm), one row per document with at
+    * least one token (null text has none).
+    *
+    * Scale shape: inherently two passes — the vocabulary is a GLOBAL
+    * aggregate that must complete before any doc can be scored. Pass 1 is
+    * one keyed count shuffle reduced to k rows via TakeOrderedAndProject
+    * (top-k, never a full global sort of the token space); pass 2
+    * re-scans the corpus and broadcast-joins the k-row vocabulary — no
+    * shuffle of the corpus beyond the per-doc count aggregation. At
+    * 10^12 turns persist pass 1's counts instead of recomputing.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      k: Int = 200,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"vocabulary size must be >= 1: $k")
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val vocab = toks
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+      .select(col("tok"), lit(1).as("iv"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("iv")), lit(0)).cast("bigint").as("in_vocab"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - col("in_vocab")).as("oov"),
+        expr("((n_tokens - in_vocab) * 1000000) div n_tokens").as("oov_ppm"))
+  }
+
   /** Intra-document repetition metrics — the published duplicate-n-gram
     * quality filters (Rae et al. 2021 "Scaling Language Models: ... Gopher",
     * appendix A1.1; reused by MassiveText/RefinedWeb-style curation): per

@@ -540,6 +540,20 @@ class OpsSpec extends AnyFunSuite {
     assert(!out.contains((3L, 3)) && !out.keySet.exists(k => k._1 == 4L || k._1 == 5L))
   }
 
+  test("vocabCoverage: boundary ties cut by token order; per-doc OOV ppm hand-checked") {
+    val docs = Seq(
+      (1L, "a a a c b"), // freq: a=3, b=1(+1 below)=2, c=1(+1)=2 — tie at k=2 boundary
+      (2L, "b c d"), // d freq 1: out of vocab
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=2, d=1; k=2 -> {a, b} (b beats c by token asc)
+    val out = TextAnalysis.vocabCoverage(docs, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((5L, 1L, 200000L))) // c is OOV
+    assert(out(2L) == ((3L, 2L, 666666L))) // c, d OOV
+    assert(!out.contains(3L))
+  }
+
   test("repetitionStats n=1 counts token repetition directly") {
     val docs = Seq((1L, "t t t u")).toDF("doc_id", "text")
     val out = TextAnalysis.repetitionStats(docs, ns = Seq(1)).collect().head

@@ -234,6 +234,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(s.contains("Window"), "the carry must be a window, not a collect")
   }
 
+  test("vocab coverage: the k-row vocabulary broadcasts; top-k never globally sorts the token space") {
+    val df = SparkEntry.queries("t05_vocab_oov")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s.take(3000))
+    assert(s.contains("TakeOrderedAndProject"),
+      s"vocab cut must be top-k, not sort+limit:\n${s.take(3000)}")
+    assert(!s.contains("CartesianProduct") && !s.contains("Exchange rangepartitioning"),
+      s.take(2000))
+  }
+
   test("conversation assembly: one keyed shuffle into the per-conv state pass") {
     import spark.implicits._
     val turns = graft.synth.Synth
