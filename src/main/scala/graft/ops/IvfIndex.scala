@@ -57,9 +57,14 @@ object IvfIndex {
     // probe (an `isEmpty` pre-check would run the full buildLists shuffle a
     // second time just to pick a branch). A DEGENERATE index (empty lists)
     // writes no data files at all under partitionBy; load() detects the
-    // file-less directory and substitutes the canonical empty frame instead
-    // of failing schema inference, so the round trip still holds.
+    // file-less directory and reads the schema sidecar below instead of
+    // failing schema inference, so the round trip is schema-exact too.
     h.lists.write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
+    // 0-row unpartitioned sidecar pinning the lists schema (limit(0) folds
+    // to an empty relation — no lineage execution; the write emits one
+    // schema-bearing file): a degenerate index loads back with the EXACT
+    // id/vector types it was built with, not a canonical guess
+    h.lists.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$path/lists_schema")
   }
 
   /** Add vectors to a SAVED index without retraining: the new rows are
@@ -75,6 +80,18 @@ object IvfIndex {
     */
   def add(spark: SparkSession, path: String, vectors: DataFrame, listCap: Int = 100000): Unit = {
     val h = load(spark, path)
+    // migration: an index saved by the pre-sidecar code with EMPTY lists
+    // holds one unpartitioned schema-marker parquet file at the directory
+    // root; appending cell= dirs beside it would mix leaf depths and break
+    // partition discovery on the next load. The marker carries zero rows by
+    // construction (the old code wrote it only for empty lists), so
+    // deleting it loses nothing.
+    val lp = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(lp))
+      fs.listStatus(lp).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) fs.delete(st.getPath, false)
+      }
     // one write, one lineage execution: nothing-to-add (all rows degenerate,
     // or an untrained index whose frozen-centroid contract says rebuild, not
     // append) appends zero rows — which creates no data files and changes
@@ -84,9 +101,10 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
   }
 
-  /** The canonical empty lists frame (a degenerate index's load-back shape):
-    * string ids, double vectors — probe joins upcast real query columns to
-    * these, and an empty probe result is empty regardless.
+  /** The fallback empty lists frame for a degenerate index saved before the
+    * schema sidecar existed: string ids, double vectors — probe joins
+    * upcast real query columns to these, and an empty probe result is empty
+    * regardless.
     */
   private def emptyLists(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -101,14 +119,17 @@ object IvfIndex {
     val lp = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
     // a degenerate index's zero-row partitionBy write left no data files
-    // (only _SUCCESS); schema inference cannot run on that — substitute the
-    // canonical empty frame
+    // (only _SUCCESS); schema inference cannot run on that — read the empty
+    // frame through the schema sidecar so the round trip is schema-exact
+    // (fallback: the canonical empty frame, for pre-sidecar saves)
     val it = fs.listFiles(lp, true)
     var hasData = false
     while (!hasData && it.hasNext) hasData = it.next().getPath.getName.endsWith(".parquet")
     val lists =
-      if (!hasData) emptyLists(spark)
-      else
+      if (!hasData) {
+        val sc = new org.apache.hadoop.fs.Path(s"$path/lists_schema")
+        if (fs.exists(sc)) spark.read.parquet(sc.toString) else emptyLists(spark)
+      } else
         // `cell` comes back as the inferred partition column; pin its type so
         // the probe join key matches the freshly-built frame exactly
         spark.read.parquet(s"$path/lists").withColumn("cell", col("cell").cast("int"))

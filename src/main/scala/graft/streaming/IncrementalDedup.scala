@@ -660,7 +660,11 @@ object IncrementalDedup {
     val it = fs.listFiles(tmp, true)
     var hasData = false
     while (!hasData && it.hasNext) hasData = it.next().getPath.getName.endsWith(".parquet")
-    if (!hasData || spark.read.parquet(tmp.toString).isEmpty) {
+    // dynamic-partition writers create part files lazily on the first row,
+    // so under partitionBy a data file PROVES >= 1 row — only the plain
+    // (pairStore) write can emit an eagerly-created 0-row file and needs
+    // the confirming read of the (small, plain) tmp output
+    if (!hasData || (partCol.isEmpty && spark.read.parquet(tmp.toString).isEmpty)) {
       fs.delete(tmp, true)
       fs.delete(p, true)
       return

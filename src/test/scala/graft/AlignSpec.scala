@@ -101,6 +101,18 @@ class AlignSpec extends AnyFunSuite {
     assert(out(2L) == -1L) // a probe without an event time matches nothing
   }
 
+  test("asOfJoin: null join keys follow equi-join semantics — null never matches null") {
+    val probes = Seq((1L, Some("u"), 100L), (2L, Option.empty[String], 100L))
+      .toDF("event_id", "k", "ts")
+    val refs = Seq((Option.empty[String], 10L, 7L), (Some("u"), 10L, 8L))
+      .toDF("k", "ts", "ref_id")
+    val out = Align.asOfJoin(probes, refs, Seq("k"), "ts", rightTie = Seq("ref_id"))
+      .select($"event_id", $"matched.ref_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) == 8L) // keyed probe matches only the keyed reference
+    assert(out(2L) == -1L) // a window partition would have paired the nulls
+  }
+
   test("asOfJoin output is layout-invariant and keeps all probe rows/columns") {
     val probes = (1 to 500).map(i => (i.toLong, s"k${i % 7}", (i * 13 % 997).toLong, s"p$i"))
       .toDF("event_id", "k", "ts", "payload")

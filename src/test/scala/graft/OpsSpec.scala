@@ -216,6 +216,18 @@ class OpsSpec extends AnyFunSuite {
     IvfIndex.add(spark, path, mkVecs(8, 16, 7L).toDF("id", "vec"))
     assert(IvfIndex.topK(probes, IvfIndex.load(spark, path), k = 3, nProbe = 2).count() == 0)
 
+    // schema sidecar: a degenerate index round-trips the EXACT lists
+    // schema (bigint ids here — the pre-sidecar canonical fallback would
+    // come back as string)
+    val badLong = Seq((7L, null.asInstanceOf[Seq[Double]])).toDF("id", "vec")
+    val hLong = IvfIndex.build(badLong, nCells = 4)
+    val pathLong = java.nio.file.Files.createTempDirectory("graft-ivf-degenL").toString + "/idx"
+    IvfIndex.save(spark, hLong, pathLong)
+    // parquet round trips everything as nullable; names + types must hold
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.map(f => (f.name, f.dataType.simpleString))
+    assert(shape(IvfIndex.load(spark, pathLong).lists) == shape(hLong.lists))
+
     // trained centroids + an EMPTY first installment: the file-less lists
     // directory must load as empty and accept the first real add directly
     // (the layout is ALWAYS partitioned-by-cell; there is no special empty
