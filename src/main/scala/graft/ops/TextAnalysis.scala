@@ -201,28 +201,37 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"n-gram orders must be >= 1: $ns")
-    val toks = split(col(textCol), " ")
     // every order's grams come out of ONE pass over the text column (a
     // per-order union would scan the corpus once per n — doubled IO at
-    // 100 TB): tag each gram with its order, concat, one explode
-    val tagged = ns.map { n =>
-      val grams =
-        if (n == 1) toks
-        else
-          transform(
-            sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-      // guard BEFORE sequence(): size-n < 0 would generate a DESCENDING
-      // sequence, not an empty one (null text: size(null) is null → the
-      // otherwise branch's empty array → no rows)
-      when(size(toks) >= n, transform(grams, g => struct(lit(n).as("n"), g.as("gram"))))
-        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    // 100 TB), with the token array LET-BOUND so the split runs once per
+    // row — element_at(split(...)) inside a transform lambda re-splits the
+    // text per element otherwise (the t01/d06 lesson; measured ~9x here).
+    // No per-gram order tag rides the explode: tokens cannot contain the
+    // delimiter, so a gram's order IS its space count — orders can never
+    // collide as strings, and `n` is recovered AFTER the per-gram
+    // aggregation, on the (much smaller) distinct-gram rows. (A
+    // struct<n,gram> tag measured ~1.5x slower: one struct allocation per
+    // gram occurrence.)
+    val allGrams = bind(split(col(textCol), " ")) { toks =>
+      val gramArrays = ns.map { n =>
+        val grams =
+          if (n == 1) toks
+          else
+            transform(
+              sequence(lit(0), size(toks) - n),
+              i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+        // guard BEFORE sequence(): size-n < 0 would generate a DESCENDING
+        // sequence, not an empty one (null text: size(null) is null → the
+        // otherwise branch's empty array → no rows)
+        when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+      }
+      concat(gramArrays: _*)
     }
     docs
-      .select(col(idCol), explode(concat(tagged: _*)).as("t"))
-      .select(col(idCol), col("t.n").as("n"), col("t.gram").as("gram"))
-      .groupBy(col(idCol), col("n"), col("gram"))
+      .select(col(idCol), explode(allGrams).as("gram"))
+      .groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("c"))
+      .withColumn("n", size(split(col("gram"), " ")))
       .groupBy(col(idCol), col("n"))
       .agg(
         sum(col("c")).as("n_grams"),
@@ -235,4 +244,5 @@ object TextAnalysis {
         expr("((n_grams - n_distinct) * 1000000) div n_grams").as("dup_ppm"),
         expr("(top_c * 1000000) div n_grams").as("top_ppm"))
   }
+
 }
