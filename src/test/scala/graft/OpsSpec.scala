@@ -216,6 +216,29 @@ class OpsSpec extends AnyFunSuite {
     IvfIndex.add(spark, path, mkVecs(8, 16, 7L).toDF("id", "vec"))
     assert(IvfIndex.topK(probes, IvfIndex.load(spark, path), k = 3, nProbe = 2).count() == 0)
 
+    // pre-sidecar migration: an index saved by the old code with EMPTY
+    // lists holds one unpartitioned schema-marker parquet file at the lists
+    // root; add() must delete it before the partitioned append or the mixed
+    // leaf depths break partition discovery on the next load
+    val corpusM = mkVecs(60, 16, 11L).toDF("id", "vec").cache()
+    val centroidsM = Ann.trainCentroids(corpusM, nCells = 4)
+    val pathM = java.nio.file.Files.createTempDirectory("graft-ivf-legacy").toString + "/idx"
+    IvfIndex.save(spark, IvfIndex.Handle(centroidsM, Ann.buildLists(corpusM.limit(0), centroidsM)), pathM)
+    // simulate the OLD layout: plant a root-level empty marker file
+    Ann.buildLists(corpusM.limit(0), centroidsM)
+      .coalesce(1).write.mode("append").parquet(s"$pathM/lists")
+    val lpM = new org.apache.hadoop.fs.Path(s"$pathM/lists")
+    val fsM = lpM.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fsM.listStatus(lpM).exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "test setup: the planted legacy marker file must exist at the lists root")
+    IvfIndex.add(spark, pathM, corpusM)
+    val viaLegacy = IvfIndex.topK(probes, IvfIndex.load(spark, pathM), k = 3, nProbe = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    val monoM = IvfIndex.topK(probes, IvfIndex.Handle(centroidsM, Ann.buildLists(corpusM, centroidsM)),
+      k = 3, nProbe = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaLegacy == monoM, "legacy marker migration must leave a probeable partitioned index")
+
     // schema sidecar: a degenerate index round-trips the EXACT lists
     // schema (bigint ids here — the pre-sidecar canonical fallback would
     // come back as string)

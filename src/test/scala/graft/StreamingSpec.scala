@@ -444,6 +444,27 @@ class StreamingSpec extends AnyFunSuite {
       spark, transcripts.drop("part"), stores2, cfg, batchSeq = 0L)
     assert(IncrementalDedup.seqHighWater(spark, stores2) == 43L)
     assert(!fs.exists(legacy), "the legacy file is cleaned once a marker supersedes it")
+
+    // pre-marker-era store: pairs carry ingest_seq stamps but NEITHER the
+    // marker dir NOR the legacy file exists (upgraded deployment, fresh
+    // stream checkpoint). The high-water must floor at the store's own max
+    // stamp, or a caller sequence restarted at 0 stamps new pairs below the
+    // refresh high-water and hides them from every incremental refresh.
+    val tmp3 = Files.createTempDirectory("graft-seqpremark").toString
+    val stores3 = IncrementalDedup.Stores(s"$tmp3/sigs", s"$tmp3/pairs")
+    val (_, p3a) = IncrementalDedup.processBatch(
+      spark, transcripts.where(col("part") === 0).drop("part"), stores3, cfg, batchSeq = 9L)
+    assert(p3a > 0)
+    val markerDir = new org.apache.hadoop.fs.Path(s"$tmp3/pairs__seq.d")
+    assert(fs.delete(markerDir, true), "test setup: marker dir must exist to delete")
+    assert(IncrementalDedup.seqHighWater(spark, stores3) == 9L,
+      "without marker or legacy file the store's max ingest_seq is the floor")
+    val (_, p3b) = IncrementalDedup.processBatch(
+      spark, transcripts.where(col("part") === 1).drop("part"), stores3, cfg, batchSeq = 0L)
+    assert(p3b > 0)
+    val maxSeq3 = spark.read.parquet(stores3.pairStore)
+      .agg(max(col("ingest_seq"))).first().getLong(0)
+    assert(maxSeq3 == 10L, s"pre-marker floor must advance the stamp past 9 (got $maxSeq3)")
   }
 
   test("a meta written before any store data does not pin the layout (first-run crash retry)") {
