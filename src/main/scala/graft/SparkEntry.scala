@@ -1086,7 +1086,7 @@ object SparkEntry {
     "j01_zip_join" ->
       """WITH l AS (SELECT doc_id, source,
         |    ROW_NUMBER() OVER (ORDER BY doc_id NULLS FIRST) - 1 AS rn FROM documents),
-        |r AS (SELECT doc_id AS rdoc_id, LENGTH(text) AS text_len,
+        |r AS (SELECT doc_id AS rdoc_id, CAST(LENGTH(text) AS INT) AS text_len,
         |    ROW_NUMBER() OVER (ORDER BY doc_id DESC) - 1 AS rn FROM documents)
         |SELECT l.rn AS rn, doc_id, source, rdoc_id, text_len
         |FROM l JOIN r ON l.rn = r.rn""".stripMargin,
@@ -1456,7 +1456,7 @@ object SparkEntry {
         |      ORDER BY priority NULLS FIRST, doc_id NULLS FIRST
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM c)
-        |SELECT doc_id, source, n_tokens, cum FROM s
+        |SELECT doc_id, source, n_tokens, cum::BIGINT AS cum FROM s
         |WHERE cum - n_tokens < CASE WHEN source = 'src0' THEN 800 ELSE 500 END""".stripMargin,
     "t04_repetition" ->
       """WITH toks AS (
@@ -1471,8 +1471,8 @@ object SparkEntry {
         |  FROM toks WHERE len(t) >= 3),
         |cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3)
         |SELECT doc_id, n, SUM(c)::BIGINT AS n_grams,
-        |  ((SUM(c) - COUNT(*)) * 1000000) // SUM(c) AS dup_ppm,
-        |  (MAX(c) * 1000000) // SUM(c) AS top_ppm
+        |  (((SUM(c) - COUNT(*)) * 1000000) // SUM(c))::BIGINT AS dup_ppm,
+        |  ((MAX(c) * 1000000) // SUM(c))::BIGINT AS top_ppm
         |FROM cnt GROUP BY 1, 2""".stripMargin,
     "t05_vocab_oov" ->
       """WITH toks AS (
@@ -1550,7 +1550,7 @@ object SparkEntry {
         |         ELSE ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(nq AS DOUBLE)) * SQRT(CAST(nn AS DOUBLE))), 6)
         |    END AS cos
         |  FROM pairs)
-        |SELECT qid, nid, cos, rn FROM (
+        |SELECT qid, nid, cos, CAST(rn AS INT) AS rn FROM (
         |  SELECT qid, nid, cos,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid NULLS FIRST) AS rn
         |  FROM scored) WHERE rn <= 3""".stripMargin

@@ -1,8 +1,16 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: runs each oracle SQL in
-DuckDB over the same parquet tables and compares row count, column names, and
-a value hash (columns sorted by name, rows sorted) against the Spark parquet
-output written by `graft.Verify`.
+DuckDB over the same parquet tables and compares row count, column names,
+COLUMN TYPES, and a value hash (columns sorted by name, rows sorted) against
+the Spark parquet output written by `graft.Verify`.
+
+The type gate exists because the driver hashes through pandas, where DuckDB
+HUGEINT (any uncast SUM over BIGINT) becomes float64 and renders "800.0"
+against Spark's "800" — invisible to a str()-based value hash over fetchall()
+Python ints (that blind spot shipped a 61/63 round while this checker said
+63/63). Every oracle column's DuckDB type must EXACTLY equal the type DuckDB
+reads from the Spark parquet: cast aggregates (::BIGINT) and row_number
+(CAST(rn AS INT)) in the oracle SQL to match the Spark schema.
 
 Usage: python3 tools/check_correctness.py SF_DIR OUT_DIR
 """
@@ -46,16 +54,26 @@ def main(sf_dir, out_dir):
                 results[name] = entry
                 continue
             srel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            scols, srows = [c for c in srel.columns], srel.fetchall()
+            scols, stypes = list(srel.columns), [str(t) for t in srel.types]
+            srows = srel.fetchall()
             orel = con.sql(oracle[name])
-            ocols, orows = [c for c in orel.columns], orel.fetchall()
+            ocols, otypes = list(orel.columns), [str(t) for t in orel.types]
+            orows = orel.fetchall()
             entry["rows"] = [len(srows), len(orows)]
             entry["cols_match"] = sorted(scols) == sorted(ocols)
             if not entry["cols_match"]:
                 entry["cols"] = [sorted(scols), sorted(ocols)]
+            smap = dict(zip(scols, stypes))
+            omap = dict(zip(ocols, otypes))
+            skew = {c: [smap[c], omap[c]] for c in smap
+                    if c in omap and smap[c] != omap[c]}
+            entry["types_match"] = not skew
+            if skew:
+                entry["type_skew"] = skew
             sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
             entry["hash_match"] = sh == oh
-            entry["status"] = "ok" if (entry["cols_match"] and sh == oh
+            entry["status"] = "ok" if (entry["cols_match"] and not skew
+                                       and sh == oh
                                        and len(srows) == len(orows)) else "MISMATCH"
         except Exception as e:
             entry["status"] = f"error: {e}"
