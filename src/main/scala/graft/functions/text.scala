@@ -97,4 +97,17 @@ object text {
 
   /** Hamming distance between two 64-bit fingerprints (built-in bit_count). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Last whitespace token of a string (reference family_name.R:6-7 —
+    * `tail(strsplit(name, ' ')[[1]], 1)`, the family-name extractor). Null
+    * in, null out; empty/whitespace-only text yields an empty string, like
+    * R's split of "" yielding character(0) folded to "". Negative
+    * element_at indexes from the end — no second split or size() pass.
+    */
+  def lastToken(c: Column): Column =
+    // trim first: Spark's split keeps trailing empty fields ("a ".split ->
+    // ["a",""]), which would make the last "token" of trailing-space text ""
+    let(split(trim(c), "\\s+")) { toks =>
+      when(size(toks) === 0, lit("")).otherwise(element_at(toks, -1))
+    }
 }

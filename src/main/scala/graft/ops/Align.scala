@@ -153,6 +153,13 @@ object Align {
       s"asOfJoin output column '$matchedCol' already exists in the left side")
     val tagCol = "__graft_asof_tag"
     val tieCols = rightTie.indices.map(i => s"__graft_asof_tie$i")
+    // internal scratch names must not collide with caller columns, or the
+    // union below builds a duplicate-name select instead of a clear error
+    val scratch = (tagCol +: tieCols).toSet
+    val scratchClash = (left.columns ++ right.columns).filter(scratch.contains).distinct
+    require(scratchClash.isEmpty,
+      s"asOfJoin reserves internal column names ${scratch.mkString(", ")}; " +
+        s"rename the conflicting input column(s): ${scratchClash.mkString(", ")}")
     // at equal ts a right row is admissible only under inclusive semantics:
     // sort it before the left row (tag 0) when inclusive, after (tag 1) when
     // strict — the rows-frame then includes/excludes it automatically

@@ -218,8 +218,16 @@ object IncrementalDedup {
     // creates the marker dir.
     if (fromMarkers != Long.MinValue || !storeExists(spark, stores.pairStore)) fromMarkers
     else {
-      val r = spark.read.parquet(stores.pairStore).agg(max($"ingest_seq")).head
-      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+      // an even older store may predate the ingest_seq column itself; the
+      // aggregate below would then throw AnalysisException and turn a
+      // recoverable upgrade path into a hard failure — treat column absence
+      // as "no stamps yet" (Long.MinValue), same as an empty store
+      val df = spark.read.parquet(stores.pairStore)
+      if (!df.columns.contains("ingest_seq")) Long.MinValue
+      else {
+        val r = df.agg(max($"ingest_seq")).head
+        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+      }
     }
   }
 

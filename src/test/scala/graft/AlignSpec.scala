@@ -69,6 +69,19 @@ class AlignSpec extends AnyFunSuite {
       .toDF("k", "ts", "ref_id")
   )
 
+  test("asOfJoin: reserved scratch column names are rejected with a clear error") {
+    val (probes, refs) = asOfFixture
+    val e1 = intercept[IllegalArgumentException] {
+      Align.asOfJoin(probes.withColumn("__graft_asof_tag", lit(1)), refs, Seq("k"), "ts")
+    }
+    assert(e1.getMessage.contains("__graft_asof_tag"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Align.asOfJoin(probes, refs.withColumn("__graft_asof_tie0", lit(1)),
+        Seq("k"), "ts", rightTie = Seq("ref_id"))
+    }
+    assert(e2.getMessage.contains("__graft_asof_tie0"), e2.getMessage)
+  }
+
   test("asOfJoin: strict latest-preceding match per key, null when none") {
     val (probes, refs) = asOfFixture
     val out = Align.asOfJoin(probes, refs, Seq("k"), "ts", rightTie = Seq("ref_id"))

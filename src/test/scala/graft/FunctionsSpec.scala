@@ -135,6 +135,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(common.nonEmpty, "every pair must share the winnowed anchor of the common substring")
   }
 
+  test("lastToken: family-name extraction (family_name.R:6-7 parity)") {
+    val df = Seq(
+      ("a", "jorge luis borges"), // multi-token -> last
+      ("b", "plato"),             // single token -> itself
+      ("c", "  ada   lovelace  "),// ragged whitespace -> still last real token
+      ("d", ""),                  // empty -> empty string
+      ("e", "   "),               // whitespace-only -> empty string
+      ("f", null)                 // null -> null
+    ).toDF("id", "name").select(col("id"), T.lastToken(col("name")).as("fam"))
+    val m = df.collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(m("a").contains("borges"))
+    assert(m("b").contains("plato"))
+    assert(m("c").contains("lovelace"))
+    assert(m("d").contains(""))
+    assert(m("e").contains(""))
+    assert(m("f").isEmpty)
+  }
+
   test("minhash expression participates in whole-stage codegen") {
     val df = spark.range(4)
       .select(MinHashSignature(array(col("id"), col("id") * 2), 16, 1L).as("sig"))

@@ -507,6 +507,65 @@ class OpsSpec extends AnyFunSuite {
     assert(hit >= 13, s"distributed training must preserve retrieval quality: $hit/15")
   }
 
+  test("inferred vectors for docs ABSENT from training retrieve their counterparts " +
+    "(doc2vec_pair_foreign.py:83-121 parity) and yield non-degenerate pair features") {
+    val vocab = (0 until 40).map(i => s"w$i")
+    def toks(seed: Long, n: Int): Seq[String] =
+      (0 until n).map(j => vocab(
+        java.lang.Long.remainderUnsigned(graft.functions.MinHashImpl.mix64(seed + j * 17L), vocab.size).toInt))
+    val base = (0 until 15).map(i => (f"d$i%02d", toks(i * 1000L, 30)))
+    // foreign docs: near-copies of the base docs, NOT in the training corpus
+    val foreign = base.map { case (id, t) => (id + "_f", t.take(27) ++ toks(id.hashCode.toLong, 3)) }
+    val trainDocs = base.toDF("id", "tokens").cache()
+    val model = DocEmbed.train(trainDocs, dim = 16, iters = 8)
+
+    // vectors for the held-out docs come from the SAME vocabulary-based
+    // transform — the model never saw these ids
+    val baseVecs = DocEmbed.docVectors(model, trainDocs).cache()
+    val foreignVecs = DocEmbed.docVectors(model, foreign.toDF("id", "tokens")).cache()
+    assert(foreignVecs.where(size(col("vec")) =!= 16).count() == 0)
+    // non-degenerate: inferred vectors are not the zero vector
+    val zeroCount = foreignVecs.where(!exists(col("vec"), v => abs(v) > 1e-9f)).count()
+    assert(zeroCount == 0, s"$zeroCount foreign docs inferred as zero vectors")
+
+    val top = Ann.bruteForceTopK(foreignVecs, baseVecs, k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val hit = base.count { case (id, _) => top(s"${id}_f") == id }
+    info(s"foreign-doc nearest-neighbor hit: $hit/15")
+    assert(hit >= 13, s"inferred vectors must retrieve planted counterparts: $hit/15")
+
+    // pair features over MIXED native+foreign vectors (the foreign variant's
+    // whole point): planted pair distance beats a mismatched pair's, angle
+    // well-formed, geometric length positive
+    val allVecs = baseVecs.unionByName(foreignVecs)
+    val planted = base.map { case (id, _) => (s"${id}_f", id) }
+    val mismatched = base.indices.map(i => (s"${base(i)._1}_f", base((i + 7) % base.size)._1))
+    val feats = DocEmbed.pairFeatures(
+      (planted ++ mismatched).toDF("id1", "id2"), allVecs).cache()
+    val rows = feats.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == planted.size + mismatched.size)
+    assert(rows.forall { case (_, _, d, a, g) => d >= 0 && a >= 0 && a <= math.Pi + 1e-9 && g > 0 })
+    val distOf = rows.map { case (i1, i2, d, _, _) => (i1, i2) -> d }.toMap
+    val closer = planted.count { case (f, b) =>
+      distOf((f, b)) < distOf((f, base((base.indexWhere(_._1 == b) + 7) % base.size)._1))
+    }
+    info(s"planted pair closer than mismatched: $closer/${planted.size}")
+    assert(closer >= 13, s"planted pairs must be closer than mismatched ones: $closer/${planted.size}")
+  }
+
+  test("DocEmbed.train scale guard: single-partition default refuses past the row ceiling") {
+    val docs = (0 until 20).map(i => (s"d$i", Seq("a", "b", "c"))).toDF("id", "tokens")
+    val e = intercept[IllegalArgumentException] {
+      DocEmbed.train(docs, dim = 4, iters = 1, maxSinglePartitionRows = 10L)
+    }
+    assert(e.getMessage.contains("numPartitions"), e.getMessage)
+    // distributed opt-in sails past the ceiling
+    DocEmbed.train(docs, dim = 4, iters = 1, numPartitions = 2, maxSinglePartitionRows = 10L)
+    // explicit ceiling raise accepts single-task training deliberately
+    DocEmbed.train(docs, dim = 4, iters = 1, maxSinglePartitionRows = 100L)
+  }
+
   test("text -> Word2Vec -> IVF end-to-end recall vs brute force") {
     val vocab = (0 until 40).map(i => s"w$i")
     def toks(seed: Long, n: Int): Seq[String] =

@@ -89,6 +89,52 @@ class PairClassifierSpec extends AnyFunSuite {
     assert(cvModel.bestModel.isInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel])
   }
 
+  test("balanced-pos-rate seed search beats the single-seed block split on a skewed corpus " +
+    "(M2 parity, sample_seed.py:26-45)") {
+    // planted skew: half the blocks are all-positive, half all-negative, with
+    // wildly varying sizes — a single seeded 50/50 block split routinely lands
+    // train/val pos rates far apart; the 500-seed search must find a split
+    // whose rates nearly match
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 24).flatMap { b =>
+      val n = 5 + rnd.nextInt(120) // size skew
+      val pos = if (b % 2 == 0) 1 else 0
+      (0 until n).map(i => (s"b$b", s"p${b}_$i", pos))
+    }
+    val labeled = rows.toDF("block", "pair_id", "label")
+
+    def posRate(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.agg(sum($"label").cast("double") / count(lit(1))).head
+      r.getDouble(0)
+    }
+    // worst single-seed gap over the same candidate seeds the search scans —
+    // the search can never do worse than its own best candidate, so compare
+    // against the median single-seed outcome instead of a cherry-picked one
+    val singleGaps = (0 until 20).map { k =>
+      val (tr, te) = PairClassifier.blockSplit(labeled, "block", 0.5, seed = 2018L + k)
+      math.abs(posRate(tr) - posRate(te))
+    }
+    val medianSingle = singleGaps.sorted.apply(singleGaps.size / 2)
+
+    val res = PairClassifier.blockSplitBalanced(labeled, "block", trainFrac = 0.5, nSeeds = 500)
+    val measuredGap = math.abs(posRate(res.train) - posRate(res.test))
+    info(f"median single-seed gap $medianSingle%.4f; searched gap ${res.gap}%.4f (seed ${res.seed})")
+    // the applied split must reproduce the driver-side search's own numbers
+    assert(math.abs(measuredGap - res.gap) < 1e-12,
+      f"applied split gap $measuredGap%.6f != search gap ${res.gap}%.6f")
+    assert(res.gap <= medianSingle,
+      f"searched gap ${res.gap}%.4f should not exceed the median single-seed gap $medianSingle%.4f")
+    assert(res.gap < 0.02, f"500 seeds over 24 blocks must find a near-balanced split, got ${res.gap}%.4f")
+    // block-level split invariants: disjoint, complete, no block straddles
+    val tb = res.train.select($"block").distinct().as[String].collect().toSet
+    val vb = res.test.select($"block").distinct().as[String].collect().toSet
+    assert(tb.intersect(vb).isEmpty && (tb ++ vb).size == 24)
+    assert(res.train.count() + res.test.count() == rows.size)
+    // determinism: same inputs -> same winner
+    val res2 = PairClassifier.blockSplitBalanced(labeled, "block", trainFrac = 0.5, nSeeds = 500)
+    assert(res2.seed == res.seed && res2.gap == res.gap)
+  }
+
   test("classifier probs as the pair score: refine beats the raw-jaccard cut end-to-end " +
     "(the reference's classifier -> constrained-Kruskal handoff, classifier.py:389-423)") {
     import graft.pipeline.Eval
