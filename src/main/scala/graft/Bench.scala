@@ -87,7 +87,7 @@ object Bench {
     * time across hours; reporting the probe with every bench run makes
     * numbers comparable across windows.
     */
-  private def memBandwidthProbe(threads: Int = 4): Double = {
+  private[graft] def memBandwidthProbe(threads: Int = 4): Double = {
     val n = 16 * 1024 * 1024 // 128MB of longs per thread
     val sums = new java.util.concurrent.atomic.AtomicLong
     val arrays = Array.fill(threads)(Array.tabulate(n)(_.toLong))
