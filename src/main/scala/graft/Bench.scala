@@ -207,9 +207,23 @@ object Bench {
     // min is robust to hypervisor steal noise on this VM)
     val inputDir = {
       val dir = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench-input" else "/tmp/graft-bench-input"
-      val s = Sessions.local(cpus, "graft-bench-gen")
-      try Synth.transcripts(s, scfg).toDF.write.mode("overwrite").parquet(dir)
-      finally s.stop()
+      // back-to-back sessions over the SAME deterministic corpus can skip the
+      // ~18 min generation of the 20M-turn input: a marker records the synth
+      // config, and reuse applies only when it matches exactly (the corpus is
+      // a pure function of the config, so matching marker == identical bytes)
+      val marker = java.nio.file.Paths.get(dir, "_graft_synth_cfg")
+      val cfgStr = scfg.toString
+      val reusable = sys.env.get("SPARK_GRAFT_BENCH_REUSE_INPUT").contains("true") &&
+        java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8) == cfgStr
+      if (!reusable) {
+        val s = Sessions.local(cpus, "graft-bench-gen")
+        try Synth.transcripts(s, scfg).toDF.write.mode("overwrite").parquet(dir)
+        finally s.stop()
+        java.nio.file.Files.write(marker,
+          cfgStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       dir
     }
     // cores ladder: min-of-occurrences per level (min is robust to
