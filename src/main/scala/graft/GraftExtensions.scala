@@ -89,5 +89,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("sorted_intersect_size", 2, args)
       SortedIntersectSize(args(0), args(1))
     }
+    reg("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two numeric arrays (zero-norm -> 0.0)") { args =>
+      arity("cosine_sim", 2, args)
+      CosineSim(args(0), args(1))
+    }
   }
 }

@@ -19,13 +19,17 @@ object Ann {
     * A zero vector has no direction: its similarity to anything is defined
     * as 0.0 rather than 0/0 — under ANSI mode (Spark 4 default) the bare
     * division is a DIVIDE_BY_ZERO task failure, not a NaN.
+    *
+    * Round 5: now the codegen'd [[graft.functions.CosineSim]] expression.
+    * The original HOF composition (`aggregate(zip_with(...))` dot + self
+    * dots) evaluated its lambdas interpreted PER ELEMENT and fell off
+    * whole-stage codegen — ~6 s per million pairs at dim 16 in the
+    * brute-force top-k paths. Bit-identical by construction (same IEEE
+    * left-fold order, same zero-norm/null semantics; FunctionsSpec pins the
+    * equivalence against the HOF composition, the a02-a07 oracles pin the
+    * values cross-engine).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, x) => s + x)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (s, x) => s + x)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (s, x) => s + x)
-    when(na === 0d || nb === 0d, lit(0.0)).otherwise(dot / (sqrt(na) * sqrt(nb)))
-  }
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
   /** Rows whose `vecCol` is a well-formed point of the dim-dimensional
     * space: non-null, exactly `dim` components, all finite. A corpus-scale

@@ -153,6 +153,56 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m("f").isEmpty)
   }
 
+  test("cosine_sim expression: bit-identical to the HOF composition it replaces") {
+    import graft.functions.CosineSim
+    // the reference semantics: the exact column composition Ann.cosine used
+    // before round 5 (interpreted HOF lambdas, left-fold double sums)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, x) => s + x)
+      val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (s, x) => s + x)
+      val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (s, x) => s + x)
+      when(na === 0d || nb === 0d, lit(0.0)).otherwise(dot / (sqrt(na) * sqrt(nb)))
+    }
+    val rnd = new scala.util.Random(5)
+    val rows: Seq[(Seq[Float], Seq[Float])] =
+      (0 until 300).map { _ =>
+        val d = 1 + rnd.nextInt(40)
+        (Seq.fill(d)(rnd.nextFloat() * 20 - 10), Seq.fill(d)(rnd.nextFloat() * 20 - 10))
+      } ++ Seq(
+        (Seq.fill(8)(0f), Seq.fill(8)(1f)),   // zero-norm left -> 0.0
+        (Seq.fill(8)(1f), Seq.fill(8)(0f)),   // zero-norm right -> 0.0
+        (Seq.empty[Float], Seq.empty[Float]), // both empty: norms 0 -> 0.0
+        (Seq(1f, 2f), Seq(1f, 2f, 3f))        // length mismatch -> null
+      )
+    val df = rows.toDF("a", "b")
+      .select(hof(col("a"), col("b")).as("h"), CosineSim(col("a"), col("b")).as("c"))
+    val vals = df.collect()
+    vals.foreach { r =>
+      val h = if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+      val c = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      // BIT-identical, not epsilon-close: same IEEE fold order is the contract
+      assert(h == c || (h != null && c != null &&
+        java.lang.Double.doubleToRawLongBits(h) == java.lang.Double.doubleToRawLongBits(c)),
+        s"hof=$h codegen=$c")
+    }
+    // null-element propagation matches too
+    val withNull = Seq((Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](1f, 2f, 3f)))
+      .toDF("a", "b")
+      .select(hof(col("a"), col("b")).as("h"), CosineSim(col("a"), col("b")).as("c"))
+      .head
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    import graft.functions.CosineSim
+    val df = spark.range(4)
+      .select(CosineSim(
+        array(col("id").cast("float"), lit(2f)),
+        array(lit(3f), col("id").cast("float"))).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("minhash expression participates in whole-stage codegen") {
     val df = spark.range(4)
       .select(MinHashSignature(array(col("id"), col("id") * 2), 16, 1L).as("sig"))
