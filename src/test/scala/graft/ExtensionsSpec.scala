@@ -58,6 +58,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(one[Int]("SELECT sorted_intersect_size(array(1L,2L,5L), array(2L,3L,5L))") == 2)
   }
 
+  test("cosine_sim is SQL-callable and agrees with the Column API") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(3f, 2f, 1f))).toDF("a", "b")
+    df.createOrReplaceTempView("ext_cos")
+    val api = df.select(CosineSim($"a", $"b")).as[Double].head()
+    val sql = one[Double]("SELECT cosine_sim(a, b) FROM ext_cos")
+    assert(java.lang.Double.doubleToRawLongBits(api) == java.lang.Double.doubleToRawLongBits(sql))
+    assert(one[Double]("SELECT cosine_sim(array(0.0F, 0.0F), array(1.0F, 2.0F))") == 0.0)
+  }
+
   test("non-literal scalar parameters fail with a clear analysis-time error") {
     val e = intercept[Exception] {
       spark.sql("SELECT content_anchors('abcdefgh', 1 + length('abc'), 4)").collect()
