@@ -610,6 +610,17 @@ object SparkEntry {
       graft.ops.Curation.mixtureSample(
         t(s, d, "documents"), quotas = Map("src0" -> 800L), defaultQuota = 500L)),
 
+    // ---- corpus-frequency boilerplate removal (C4/RefinedWeb "drop lines
+    // repeating across documents"): the repetition unit is the aligned
+    // 10-token chunk (this corpus has no newlines; a fixed grid keeps the
+    // unit engine-independent), boilerplate = chunk in >= 2 distinct docs
+    // (the corpus's planted exact/near dups align on the grid), trailing
+    // partial chunk always kept. One chunk-df aggregate + one join back +
+    // one per-doc reassembly — the A3 IDF-table shape, nothing quadratic.
+    // Oracle re-derives chunking, df counts, AND the reassembled text.
+    "c05_boilerplate" -> ((s, d) =>
+      graft.ops.Curation.removeBoilerplate(t(s, d, "documents"))),
+
     // ---- deterministic stratified sampling (training-data curation):
     // hash-bucket each doc by md5(doc_id) and keep per-stratum rates (50% of
     // 'en', 80% of everything else — downweight the dominant language). Pure
@@ -1499,6 +1510,34 @@ object SparkEntry {
         |  FROM c)
         |SELECT doc_id, source, n_tokens, cum::BIGINT AS cum FROM s
         |WHERE cum - n_tokens < CASE WHEN source = 'src0' THEN 800 ELSE 500 END""".stripMargin,
+    "c05_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |base AS (
+        |  SELECT doc_id, t, CAST(len(t) // 10 AS BIGINT) AS nfull,
+        |    array_to_string(t[(len(t) // 10) * 10 + 1 : len(t)], ' ') AS rem
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, CAST(g.i AS INT) AS pos,
+        |    array_to_string(t[g.i * 10 + 1 : g.i * 10 + 10], ' ') AS chunk
+        |  FROM base, UNNEST(range(0, nfull)) AS g(i)),
+        |dfc AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1),
+        |flagged AS (
+        |  SELECT c.doc_id, c.pos, c.chunk, (d.df >= 2) AS boiler
+        |  FROM chunks c JOIN dfc d USING (chunk)),
+        |agg AS (
+        |  SELECT doc_id,
+        |    COUNT(*) AS n_chunks,
+        |    SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_boiler,
+        |    array_to_string(list(chunk ORDER BY pos) FILTER (WHERE NOT boiler), ' ') AS keep_txt
+        |  FROM flagged GROUP BY 1)
+        |SELECT b.doc_id,
+        |  COALESCE(a.n_chunks, 0)::INT AS n_chunks,
+        |  COALESCE(a.n_boiler, 0)::INT AS n_boiler,
+        |  COALESCE(array_to_string(list_filter([COALESCE(a.keep_txt, ''), b.rem],
+        |    x -> len(x) > 0), ' '), '') AS clean_text
+        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "t04_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),

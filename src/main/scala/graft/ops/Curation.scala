@@ -135,4 +135,73 @@ object Curation {
         coalesce(element_at(quotaMap, col(sourceCol)), lit(defaultQuota)))
       .select(col(idCol), col(sourceCol), $"n_tokens", $"cum")
   }
+
+  /** Corpus-frequency boilerplate removal — the C4/RefinedWeb-style "drop
+    * every line that repeats across documents" pass, over a corpus whose
+    * unit of repetition is the aligned `chunkTokens`-token span (the
+    * transcript/documents tables carry no newlines; a fixed token grid
+    * makes the unit deterministic and re-derivable by an independent
+    * engine). A chunk is boilerplate when it appears in at least `minDf`
+    * DISTINCT documents; trailing tokens past the last full chunk are
+    * always kept.
+    *
+    * Output: (idCol, n_chunks, n_boiler, clean_text) — chunk counts per doc
+    * and the document re-assembled in chunk order with boilerplate spans
+    * removed (single-space joined, empty parts dropped). Null-text docs are
+    * excluded, matching the other curation passes.
+    *
+    * Scale shape: one keyed aggregate on the chunk string (map-side
+    * partial count-distinct via the (chunk, doc) pre-distinct), one
+    * shuffle join back, one per-doc aggregation — linear in corpus tokens,
+    * no cartesian, no global sort. At 10^12 docs the chunk-df table is the
+    * only wide shuffle and is exactly the IDF-table shape (A3).
+    */
+  def removeBoilerplate(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 10,
+      minDf: Int = 2): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val k = chunkTokens
+    // let-bind the split (HOF lesson: a bare split inside transform's lambda
+    // re-splits the text per chunk); guard the sequence for docs shorter
+    // than one chunk — sequence(0, -1) runs DESCENDING (the t04 lesson)
+    val chunked = docs.where(col(textCol).isNotNull).select(
+      col(idCol),
+      graft.functions.text.let(split(col(textCol), " ")) { t =>
+        val nFull = floor(size(t) / lit(k)).cast("int")
+        struct(
+          when(nFull === 0, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), nFull - 1),
+              i => concat_ws(" ", slice(t, i * k + 1, lit(k))))).as("chunks"),
+          concat_ws(" ", slice(t, nFull * k + 1, size(t) - nFull * k)).as("rem"))
+      }.as("s"))
+      .select(col(idCol), col("s.chunks").as("chunks"), col("s.rem").as("rem"))
+    // posexplode_outer keeps zero-chunk docs (short texts) in the frame
+    val occ = chunked.select(col(idCol), col("rem"),
+      posexplode_outer(col("chunks")).as(Seq("pos", "chunk")))
+    val dfCounts = occ.where(col("chunk").isNotNull)
+      .groupBy(col("chunk")).agg(countDistinct(col(idCol)).as("df"))
+    val flagged = occ.join(dfCounts, Seq("chunk"), "left")
+      .withColumn("boiler", coalesce(col("df") >= minDf, lit(false)))
+    flagged
+      .groupBy(col(idCol), col("rem"))
+      .agg(
+        count(col("chunk")).cast("int").as("n_chunks"),
+        sum(col("boiler").cast("int")).cast("int").as("n_boiler"),
+        // collect_list skips nulls: zero-chunk docs aggregate to an empty list
+        array_sort(collect_list(when(!col("boiler") && col("chunk").isNotNull,
+          struct(col("pos"), col("chunk"))))).as("kept"))
+      .select(
+        col(idCol),
+        col("n_chunks"),
+        col("n_boiler"),
+        array_join(
+          filter(
+            concat(transform(col("kept"), s => s.getField("chunk")), array(col("rem"))),
+            x => length(x) > 0),
+          " ").as("clean_text"))
+  }
 }

@@ -85,8 +85,9 @@ class EntrySpec extends AnyFunSuite {
       "d05_langid", "d06_fingerprints", "d07_substring_dup", "d08_decontaminate",
       "d09_sample_stratified", "d10_lsh_neardup", "d11_simhash_neardup",
       "c01_cluster_keep_best", "c02_pii_scrub", "c03_curation_pipeline",
-      "c04_mixture_sample", "d12_source_quantiles", "t01_quality", "t02_subword",
-      "t03_token_packing", "t04_repetition", "t05_vocab_oov", "q25_keyword_classify")
+      "c04_mixture_sample", "c05_boilerplate", "d12_source_quantiles", "t01_quality",
+      "t02_subword", "t03_token_packing", "t04_repetition", "t05_vocab_oov",
+      "q25_keyword_classify")
     for (q <- docQueries) {
       val n =
         try SparkEntry.queries(q)(spark, pathologicalDocs).collect().length

@@ -585,6 +585,31 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8)
   }
 
+  test("Curation.removeBoilerplate: df-flagged chunks removed, order and remainder preserved") {
+    import graft.ops.Curation
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val boiler = words("b", 10) // one exact 10-token chunk shared by d1/d2/d3
+    val docs = Seq(
+      // d1: unique chunk + boilerplate chunk + 3-token remainder
+      ("d1", words("u", 10) + " " + boiler + " tail x y"),
+      // d2: boilerplate chunk FIRST, then a unique chunk
+      ("d2", boiler + " " + words("v", 10)),
+      // d3: boilerplate only, no remainder -> clean_text empty
+      ("d3", boiler),
+      // d4: shorter than one chunk -> everything is remainder, kept
+      ("d4", "just seven words here nothing more stop"),
+      // d5: same chunk TWICE in one doc but in no other doc -> df=1, kept
+      ("d5", words("w", 10) + " " + words("w", 10))
+    ).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, chunkTokens = 10, minDf = 2)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out("d1") == ((2, 1, words("u", 10) + " tail x y")))
+    assert(out("d2") == ((2, 1, words("v", 10))))
+    assert(out("d3") == ((1, 1, "")))
+    assert(out("d4") == ((0, 0, "just seven words here nothing more stop")))
+    assert(out("d5") == ((2, 0, words("w", 10) + " " + words("w", 10))))
+  }
+
   // ---------- Curation (direct library API; driver queries c01-c03 delegate here) ----------
 
   test("Curation.scrubPii redacts all three pattern families; null stays null") {
