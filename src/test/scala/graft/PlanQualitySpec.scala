@@ -207,6 +207,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"c04 must not globally sort or join:\n${s.take(2000)}")
   }
 
+  test("boilerplate removal: keyed chunk-df aggregate + one join back, no cartesian, no global sort") {
+    val df = SparkEntry.queries("c05_boilerplate")(spark, sf)
+    val s = formatted(df)
+    // chunk-df count-distinct (2 exchanges: partial+final on chunk), the join
+    // back on chunk, and the per-doc reassembly aggregate — bounded keyed
+    // shuffles only; a regression to per-pair comparison would show a
+    // cartesian or a range sort
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"c05 must never plan a cartesian:\n${s.take(2000)}")
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"c05 must not globally sort:\n${s.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 5,
+      s"c05 must stay a bounded keyed-shuffle plan:\n${s.take(3000)}")
+  }
+
   test("repetition metrics: ONE corpus scan, two keyed aggregate shuffles, no cartesian") {
     val df = SparkEntry.queries("t04_repetition")(spark, sf)
     val s = formatted(df)
